@@ -1,0 +1,239 @@
+"""Integer-only inference engine: FrozenModel → one jitted XLA program.
+
+The TPU-native analog of the reference's deployment stack
+(/root/reference/tvm_benchmark/mixed_precision_models/quantized_resnet_v1.py
+:50-263 Relay graph builder + relay.build + graph_runtime): instead of an
+interpreted op graph, the frozen checkpoint is closed over by a pure JAX
+function — int8 activations, int8×int8→int32 MXU convolutions, dyadic
+requantization epilogues, int32 residual adds — and compiled by XLA into a
+single fused program.  All dyadic multipliers are precomputed host-side at
+build time (the analog of load_qconfig's scale wiring,
+hawq_utils_resnet50.py:205-312) and baked in as constants.
+
+The arithmetic here is bit-for-bit the frozen/folded QAT graph: both call
+the same requant semantics (hawq_tpu/quant/ops.py requant_int32 ≡
+dyadic_requant) — the per-unit parity test of the reference's debug_unit
+mechanism (test_resnet_inference.py:128-181) is tests/test_engine_parity.py.
+
+``debug_unit`` support: pass ``capture=<node name>`` to truncate the graph at
+a named node and return its raw integer tensor, mirroring the reference's
+--debug-unit golden-featuremap tests (quantized_resnet_v1.py:401-417).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hawq_tpu.configs.bit_config import (RESNET_UNITS, RESNET_CONVS_PER_UNIT)
+from hawq_tpu.inference.freeze import FrozenModel
+from hawq_tpu.quant import ops as qops
+
+
+def _np_dyadic_multiplier(ratio: np.ndarray) -> np.ndarray:
+    """Host-side mirror of qops.dyadic_multiplier (identical IEEE f32 math)."""
+    ratio = np.asarray(ratio, np.float32)
+    m, e = np.frexp(ratio)
+    m_int = np.floor(m * (2.0 ** qops.DYADIC_MANTISSA_BITS) + 0.5)
+    e_out = qops.DYADIC_MANTISSA_BITS - e
+    return np.ldexp(m_int.astype(np.float32), -e_out).astype(np.float32)
+
+
+def _clip_bounds(bits: int, signed: bool) -> Tuple[float, float]:
+    return qops.requant_clip_bounds(bits, signed)
+
+
+class _Plan:
+    """Precomputed constants for the jitted program."""
+
+    def __init__(self, fm: FrozenModel):
+        self.fm = fm
+        self.w: Dict[str, jnp.ndarray] = {}
+        self.b: Dict[str, jnp.ndarray] = {}
+        self.mult: Dict[str, jnp.ndarray] = {}
+        self.meta: Dict[str, Tuple] = {}
+
+    def conv(self, key: str):
+        if key not in self.w:
+            self.w[key] = jnp.asarray(self.fm[key + '.weight_int'])
+            self.b[key] = jnp.asarray(self.fm[key + '.bias_int'])
+        return self.w[key], self.b[key]
+
+    def requant_mult(self, name: str, acc_scale: np.ndarray,
+                     out_scale: np.float32) -> jnp.ndarray:
+        """acc_scale may be per-channel (weight scale × act scale)."""
+        if name not in self.mult:
+            ratio = (np.asarray(acc_scale, np.float32)
+                     / np.float32(out_scale)).astype(np.float32)
+            self.mult[name] = jnp.asarray(_np_dyadic_multiplier(ratio))
+        return self.mult[name]
+
+
+def _conv_i8(x8: jnp.ndarray, w8: jnp.ndarray, strides, padding,
+             groups: int = 1) -> jnp.ndarray:
+    dn = jax.lax.conv_dimension_numbers(x8.shape, w8.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x8, w8, strides, padding, dimension_numbers=dn,
+        feature_group_count=groups, preferred_element_type=jnp.int32)
+
+
+def _requant(acc: jnp.ndarray, mult: jnp.ndarray, bits: int, signed: bool,
+             out_dtype=jnp.int8) -> jnp.ndarray:
+    return qops.requant_int32(acc, mult, bits, signed, out_dtype)
+
+
+def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
+    init = jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, init, jax.lax.max, (1, *window, 1), (1, *strides, 1),
+        ((0, 0), *padding, (0, 0)))
+
+
+def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
+    """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
+
+    With ``capture``, the returned fn instead emits the raw integer tensor at
+    that node ('<prefix>.quant_act_int32', 'avg_pool', 'fc_input', ...), the
+    debug_unit mechanism for golden-featuremap parity tests.
+    """
+    arch, cfg = fm.arch, fm.cfg
+    plan = _Plan(fm)
+    bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+    conv1_stride = arch == 'resnet50'
+    init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
+
+    # All scales are static python/numpy values at build time.
+    s_in = fm.act_scale('quant_input')
+
+    def act_info(key: str) -> Tuple[float, int, bool]:
+        return (float(fm.act_scale(key)), cfg.act_bits(key),
+                cfg.act_mode(key) == 'symmetric')
+
+    captured = {}
+
+    def emit(name, value):
+        if capture is not None and name == capture:
+            captured['value'] = value
+
+    def forward(images: jnp.ndarray) -> jnp.ndarray:
+        # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
+        x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
+                      ).astype(jnp.int8)
+        emit('input', x8)
+
+        # ---- init block ----
+        w8, b32 = plan.conv(init_key)
+        acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
+        acc = _maxpool_int(acc, (3, 3), (2, 2), ((1, 1), (1, 1)))
+        s_init = (fm[init_key + '.weight_scale'].astype(np.float32)
+                  * np.float32(s_in))
+        s16, b16, signed16 = act_info('quant_act_int32')
+        mult = plan.requant_mult('init_requant', s_init, s16)
+        x16 = _requant(acc, mult, b16, signed16, jnp.int32)
+        x16 = jnp.maximum(x16, 0)
+        prev_scale = np.float32(s16)
+        emit('init', x16)
+
+        x = x16
+        for si, n_units in enumerate(RESNET_UNITS[arch], start=1):
+            for u in range(1, n_units + 1):
+                p = f'stage{si}.unit{u}'
+                stride = 2 if (u == 1 and si > 1) else 1
+                has_id_conv = f'{p}.quant_identity_convbn.weight_int' in fm.tensors
+
+                # unit input requant: prev 16-bit int32 → unit act bits
+                sa, ba, signed_a = act_info(f'{p}.quant_act')
+                mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
+                xa = _requant(x, mult, ba, signed_a)
+                emit(f'{p}.input', xa)
+
+                if has_id_conv:
+                    wid, bid = plan.conv(f'{p}.quant_identity_convbn')
+                    id_acc = _conv_i8(xa, wid, (stride, stride), 'VALID') + bid
+                    id_scale = (fm[f'{p}.quant_identity_convbn.weight_scale']
+                                .astype(np.float32) * np.float32(sa))
+                else:
+                    id_acc = x          # int32 at prev_scale
+                    id_scale = prev_scale
+
+                s1 = (stride, stride) if (bottleneck and conv1_stride) else \
+                     ((1, 1) if bottleneck else (stride, stride))
+                s2 = (1, 1) if (bottleneck and conv1_stride) else \
+                     ((stride, stride) if bottleneck else (1, 1))
+
+                # conv1
+                w8, b32 = plan.conv(f'{p}.quant_convbn1')
+                pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
+                acc = _conv_i8(xa, w8, s1, pad1) + b32
+                acc_scale = (fm[f'{p}.quant_convbn1.weight_scale']
+                             .astype(np.float32) * np.float32(sa))
+                sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
+                mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
+                acc = jnp.maximum(acc, 0)
+                h = _requant(acc, mult, ba1, sg1)
+                emit(f'{p}.conv1', h)
+
+                # conv2
+                w8, b32 = plan.conv(f'{p}.quant_convbn2')
+                pad2 = ((1, 1), (1, 1))
+                acc = _conv_i8(h, w8, s2, pad2) + b32
+                acc_scale = (fm[f'{p}.quant_convbn2.weight_scale']
+                             .astype(np.float32) * np.float32(sa1))
+
+                if bottleneck:
+                    sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
+                    mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
+                    acc = jnp.maximum(acc, 0)
+                    h = _requant(acc, mult, ba2, sg2)
+                    emit(f'{p}.conv2', h)
+
+                    w8, b32 = plan.conv(f'{p}.quant_convbn3')
+                    acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
+                    acc_scale = (fm[f'{p}.quant_convbn3.weight_scale']
+                                 .astype(np.float32) * np.float32(sa2))
+
+                # residual requant-add at 16-bit precision
+                s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')
+                mult_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
+                mult_id = plan.requant_mult(f'{p}.res_id', id_scale, s_out)
+                x = qops.requant_add_int32(acc, mult_main, id_acc, mult_id)
+                x = jnp.maximum(x, 0)
+                prev_scale = np.float32(s_out)
+                emit(f'{p}.quant_act_int32', x)
+
+        # ---- head ----
+        # integer global average pool with truncation (quant_modules.py:557-602)
+        hw = x.shape[1] * x.shape[2]
+        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
+        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        emit('avg_pool', pooled)
+
+        s_fc, b_fc, sg_fc = act_info('quant_act_output')
+        mult = plan.requant_mult('fc_in', prev_scale, s_fc)
+        f8 = _requant(pooled.astype(jnp.int32), mult, b_fc, sg_fc)
+        emit('fc_input', f8)
+
+        w8 = jnp.asarray(fm['quant_output.weight_int'])
+        b32 = jnp.asarray(fm['quant_output.bias_int'])
+        acc = jax.lax.dot_general(f8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32) + b32
+        out_scale = (fm['quant_output.weight_scale'].astype(np.float32)
+                     * np.float32(s_fc))
+        logits = acc.astype(jnp.float32) * jnp.asarray(out_scale)
+        emit('fc_output', logits)
+        return logits
+
+    if capture is None:
+        return jax.jit(forward)
+
+    def forward_captured(images):
+        forward(images)
+        return captured['value']
+
+    # capture mode is for tests: run uncompiled-traceable but still jittable
+    return jax.jit(forward_captured)

@@ -1,0 +1,196 @@
+"""Freeze a trained QAT model into a deployable integer checkpoint.
+
+The TPU-native analog of the reference's two-step hand-off:
+  1. ``validate()`` dumping the five integer/scale state-dict slices
+     (convbn_scaling_factor, fc_scaling_factor, weight_integer, bias_integer,
+     act_scaling_factor) — /root/reference/quant_train.py:665-670;
+  2. the checkpoint → TVM converter wiring per-layer QConfigs with
+     from_scale chaining — /root/reference/tvm_benchmark/
+     hawq_utils_resnet50.py:205-312.
+
+Here both collapse into one artifact: a flat dict of numpy arrays
+(layer-key → weight_int int8 / bias_int int32 / weight_scale f32[C] /
+act_scale f32[]) plus the BitConfig.  The engine (inference/engine.py)
+consumes it directly; utils/checkpoint.py serializes it.
+
+All integer/scale computations replicate the folded QAT path
+(hawq_tpu/nn/layers.py QuantConvBn folded branch) in float64 numpy so the
+frozen integers are exactly the ones the training graph uses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+
+from hawq_tpu.configs.bit_config import (BitConfig, RESNET_UNITS,
+                                         RESNET_CONVS_PER_UNIT)
+
+BN_EPS = 1e-5
+
+
+@dataclasses.dataclass
+class FrozenModel:
+    """Deployable integer checkpoint."""
+    arch: str
+    cfg: BitConfig
+    tensors: Dict[str, np.ndarray]      # '<key>.weight_int' etc.
+    num_classes: int = 1000
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        return self.tensors[k]
+
+    def act_scale(self, key: str) -> np.float32:
+        return np.float32(self.tensors[key + '.act_scale'])
+
+
+def _sym_scale(bits: int, lo, hi):
+    n = 2 ** (bits - 1) - 1
+    return np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-8) / n
+
+
+def _round_half_up(x):
+    return np.floor(x + 0.5)
+
+
+def _act_scale_from_stats(stats: Mapping, bits: int, mode: str) -> np.float32:
+    x_min = np.float64(stats['x_min'])
+    x_max = np.float64(stats['x_max'])
+    if mode == 'asymmetric':
+        n = 2 ** bits - 1
+        return np.float32(max(x_max - x_min, 1e-8) / n)
+    n = 2 ** (bits - 1) - 1
+    return np.float32(max(max(abs(x_min), abs(x_max)), 1e-8) / n)
+
+
+def _freeze_convbn(params: Mapping, bstats: Mapping, weight_bit: int,
+                   bias_bit: int, in_act_scale: np.float32,
+                   per_channel: bool) -> Dict[str, np.ndarray]:
+    """Fold BN and quantize — mirrors QuantConvBn folded branch /
+    quant_modules.py:441-494."""
+    kernel = np.asarray(params['kernel'], np.float64)        # HWIO
+    gamma = np.asarray(params['gamma'], np.float64)
+    beta = np.asarray(params['beta'], np.float64)
+    mean = np.asarray(bstats['mean'], np.float64)
+    var = np.asarray(bstats['var'], np.float64)
+
+    bn_factor = gamma / np.sqrt(var + BN_EPS)
+    w = kernel * bn_factor                     # broadcast over Cout (last)
+    b = (0.0 - mean) * bn_factor + beta
+
+    w_flat = w.reshape(-1, w.shape[-1])
+    if per_channel:
+        lo, hi = w_flat.min(axis=0), w_flat.max(axis=0)
+    else:
+        lo, hi = w_flat.min(), w_flat.max()
+    w_scale = _sym_scale(weight_bit, lo, hi).astype(np.float32)
+
+    n = 2 ** (weight_bit - 1) - 1
+    w_int = np.clip(_round_half_up(w / w_scale), -n - 1, n).astype(np.int8)
+    bias_scale = (w_scale.astype(np.float64) * np.float64(in_act_scale))
+    nb = 2 ** (bias_bit - 1) - 1
+    b_int = np.clip(_round_half_up(b / bias_scale), -nb - 1, nb).astype(np.int64)
+    return {'weight_int': w_int, 'bias_int': b_int.astype(np.int32),
+            'weight_scale': np.atleast_1d(w_scale)}
+
+
+def _freeze_linear(params: Mapping, weight_bit: int, bias_bit: int,
+                   in_act_scale: np.float32,
+                   per_channel: bool) -> Dict[str, np.ndarray]:
+    kernel = np.asarray(params['kernel'], np.float64)        # (F, O)
+    bias = np.asarray(params['bias'], np.float64)
+    if per_channel:
+        lo, hi = kernel.min(axis=0), kernel.max(axis=0)
+    else:
+        lo, hi = kernel.min(), kernel.max()
+    w_scale = _sym_scale(weight_bit, lo, hi).astype(np.float32)
+    n = 2 ** (weight_bit - 1) - 1
+    w_int = np.clip(_round_half_up(kernel / w_scale), -n - 1, n).astype(np.int8)
+    bias_scale = w_scale.astype(np.float64) * np.float64(in_act_scale)
+    nb = 2 ** (bias_bit - 1) - 1
+    b_int = np.clip(_round_half_up(bias / bias_scale), -nb - 1, nb)
+    return {'weight_int': w_int, 'bias_int': b_int.astype(np.int32),
+            'weight_scale': np.atleast_1d(w_scale)}
+
+
+def freeze_resnet(variables: Mapping, arch: str, cfg: BitConfig,
+                  num_classes: int = 1000) -> FrozenModel:
+    """Convert QResNet QAT variables → FrozenModel.
+
+    variables: flax dict with 'params', 'batch_stats', 'quant_stats'
+    (the quant_stats must have been calibrated — see train/calibrate).
+    """
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+    qstats = variables['quant_stats']
+    st = cfg.settings
+    tensors: Dict[str, np.ndarray] = {}
+
+    def act(key: str, module_path) -> np.float32:
+        node = qstats
+        for part in module_path:
+            node = node[part]
+        s = _act_scale_from_stats(node, cfg.act_bits(key), cfg.act_mode(key))
+        tensors[key + '.act_scale'] = np.float32(s)
+        return s
+
+    def convbn(key: str, module_path, in_scale: np.float32):
+        p, b = params, bstats
+        for part in module_path:
+            p = p[part]
+            b = b[part]
+        out = _freeze_convbn(p, b, cfg.weight_bits(key), st.bias_bit,
+                             in_scale, st.per_channel)
+        for k, v in out.items():
+            tensors[f'{key}.{k}'] = v
+
+    in_scale = act('quant_input', ('quant_input',))
+
+    bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+    init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
+    convbn(init_key, (init_key,), in_scale)
+    act('quant_act_int32', ('quant_act_int32',))
+
+    for s, n_units in enumerate(RESNET_UNITS[arch], start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{s}.unit{u}'
+            mod = f'stage{s}_unit{u}'
+            a = act(f'{p}.quant_act', (mod, 'quant_act'))
+            if f'{p}.quant_identity_convbn' in cfg or \
+                    'quant_identity_convbn' in params.get(mod, {}):
+                convbn(f'{p}.quant_identity_convbn',
+                       (mod, 'quant_identity_convbn'), a)
+            convbn(f'{p}.quant_convbn1', (mod, 'quant_convbn1'), a)
+            a1 = act(f'{p}.quant_act1', (mod, 'quant_act1'))
+            convbn(f'{p}.quant_convbn2', (mod, 'quant_convbn2'), a1)
+            if bottleneck:
+                a2 = act(f'{p}.quant_act2', (mod, 'quant_act2'))
+                convbn(f'{p}.quant_convbn3', (mod, 'quant_convbn3'), a2)
+            act(f'{p}.quant_act_int32', (mod, 'quant_act_int32'))
+
+    out_sc = act('quant_act_output', ('quant_act_output',))
+    lin = _freeze_linear(params['quant_output'], cfg.weight_bits('quant_output'),
+                         st.bias_bit, out_sc, st.per_channel)
+    for k, v in lin.items():
+        tensors[f'quant_output.{k}'] = v
+
+    return FrozenModel(arch=arch, cfg=cfg, tensors=tensors,
+                       num_classes=num_classes)
+
+
+def model_size_bytes(fm: FrozenModel) -> int:
+    """Deployed model size with true bit-packing (int4 weights count 4 bits),
+    the number reported in the reference's Tables I/II (README.md:41-57)."""
+    total_bits = 0
+    for key, t in fm.tensors.items():
+        if key.endswith('.weight_int'):
+            layer = key[:-len('.weight_int')]
+            bits = fm.cfg.weight_bits(layer)
+            total_bits += t.size * bits
+        elif key.endswith('.bias_int'):
+            total_bits += t.size * 32
+        elif key.endswith(('.weight_scale', '.act_scale')):
+            total_bits += t.size * 32
+    return total_bits // 8

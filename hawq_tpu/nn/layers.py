@@ -1,0 +1,417 @@
+"""Quantized neural-net layers (flax.linen), threading (int·scale, scale) pairs.
+
+The load-bearing invariant inherited from the reference
+(/root/reference/utils/quantization_utils/quant_modules.py:79-130, 205-305):
+every quantized layer consumes and produces a pair ``(value, scale)`` where
+``value = integer_tensor * scale`` exactly.  Downstream layers divide by the
+incoming scale to recover exact integers, which is what makes the QAT graph
+match the frozen integer engine bit-for-bit.
+
+TPU-first re-design choices vs the reference's nn.Module mutation style:
+  * all running statistics (activation ranges, BN stats) are explicit flax
+    variables in the ``quant_stats`` / ``batch_stats`` collections, updated
+    functionally — no buffer mutation, fully jit/pjit friendly;
+  * range updates are computed on the *logical global* batch, so under
+    GSPMD data parallelism every replica sees identical statistics.  This
+    removes the reference's known multi-GPU BN/range divergence that broke
+    bit-exact deployment (model_zoo.md:70);
+  * layout is NHWC / HWIO (channel-minor: TPU native), per-channel scales are
+    1-D vectors over the last axis;
+  * the convolution/matmul forward runs *true integer* int8×int8→int32 via a
+    custom_vjp (MXU path), with a float STE backward — the QAT forward is
+    bit-identical to the deployment engine by construction, instead of
+    relying on fp32 accumulation staying exact (the reference's F.conv2d
+    approach, quant_modules.py:441-494).
+  * freeze/unfreeze (quant_modules.py:739-780) becomes the functional
+    ``update_stats`` / ``folded`` call arguments driven by the trainer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hawq_tpu.quant import ops as qops
+
+
+# ---------------------------------------------------------------------------
+# Exact integer conv / matmul with STE backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def int_conv2d(x_int: jnp.ndarray, w_int: jnp.ndarray,
+               strides: Tuple[int, int], padding: Any,
+               feature_group_count: int) -> jnp.ndarray:
+    """Exact int8×int8→int32 convolution, returned as float32.
+
+    x_int, w_int are integer-valued float tensors (NHWC / HWIO) whose values
+    fit int8.  Forward rounds + casts to int8 and accumulates on the MXU in
+    int32 — bit-exact integer semantics.  Backward treats the op as the
+    ordinary float convolution (straight-through), which is what QAT needs.
+    """
+    x8 = qops.round_half_up(x_int).astype(jnp.int8)
+    w8 = qops.round_half_up(w_int).astype(jnp.int8)
+    dn = jax.lax.conv_dimension_numbers(x8.shape, w8.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    acc = jax.lax.conv_general_dilated(
+        x8, w8, strides, padding, dimension_numbers=dn,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32)
+
+
+def _float_conv(x, w, strides, padding, feature_group_count):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding, dimension_numbers=dn,
+        feature_group_count=feature_group_count,
+        preferred_element_type=jnp.float32)
+
+
+def _int_conv2d_fwd(x_int, w_int, strides, padding, feature_group_count):
+    return int_conv2d(x_int, w_int, strides, padding,
+                      feature_group_count), (x_int, w_int)
+
+
+def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
+    x_int, w_int = res
+    _, vjp = jax.vjp(
+        lambda x, w: _float_conv(x, w, strides, padding, feature_group_count),
+        x_int, w_int)
+    return vjp(g)
+
+
+int_conv2d.defvjp(_int_conv2d_fwd, _int_conv2d_bwd)
+
+
+@jax.custom_vjp
+def int_matmul(x_int: jnp.ndarray, w_int: jnp.ndarray) -> jnp.ndarray:
+    """Exact int8×int8→int32 matmul (x: [B, F], w: [F, O]) as float32."""
+    x8 = qops.round_half_up(x_int).astype(jnp.int8)
+    w8 = qops.round_half_up(w_int).astype(jnp.int8)
+    acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32)
+
+
+def _int_matmul_fwd(x_int, w_int):
+    return int_matmul(x_int, w_int), (x_int, w_int)
+
+
+def _int_matmul_bwd(res, g):
+    x_int, w_int = res
+    return (g @ w_int.T, x_int.T @ g)
+
+
+int_matmul.defvjp(_int_matmul_fwd, _int_matmul_bwd)
+
+
+# ---------------------------------------------------------------------------
+# QuantAct — activation quantizer + requantization node
+# ---------------------------------------------------------------------------
+
+class QuantAct(nn.Module):
+    """Activation range tracker + quantizer + dyadic requant node.
+
+    Parity target: QuantAct (quant_modules.py:133-305).  Three forward cases:
+      (a) no incoming scale (input quantization) or fixed_point mode:
+          direct fake-quant with this node's scale;
+      (b) ``branch_scales`` given (multi-branch concat, InceptionV3):
+          per-channel-slice dyadic requant of each branch to one scale;
+      (c) normal / residual: dyadic requant of the int32 accumulator, with an
+          optional identity branch carrying its own (act, weight) scales.
+
+    Returns ``(int_value * scale, scale)``.
+    """
+    bits: int = 8
+    momentum: float = 0.99
+    quant_mode: str = 'symmetric'       # 'symmetric' | 'asymmetric'
+    percentile: float = 0.0             # 0 = plain min/max
+    fixed_point: bool = False           # skip integer-only requant (debug)
+
+    @nn.compact
+    def __call__(self, x, pre_act_scale=None, pre_weight_scale=None,
+                 identity=None, identity_scale=None,
+                 identity_weight_scale=None,
+                 branch_scales: Optional[Sequence] = None,
+                 branch_channels: Optional[Sequence[int]] = None,
+                 *, update_stats: bool = False):
+        x_min = self.variable('quant_stats', 'x_min',
+                              lambda: jnp.zeros((), jnp.float32))
+        x_max = self.variable('quant_stats', 'x_max',
+                              lambda: jnp.zeros((), jnp.float32))
+
+        if update_stats:
+            if self.percentile == 0:
+                cur_min = jnp.min(x)
+                cur_max = jnp.max(x)
+            elif self.quant_mode == 'symmetric':
+                cur_min, cur_max = qops.percentile_bounds(
+                    x.reshape(-1), 100.0 - self.percentile, self.percentile)
+            else:
+                # asymmetric is always post-ReLU with zero_point 0: lower
+                # bound pinned to 0 (quant_modules.py:244-245).
+                cur_min, cur_max = qops.percentile_bounds(
+                    x.reshape(-1), 0.0, self.percentile)
+
+            uninit = x_min.value == x_max.value
+            if self.momentum < 0:  # running min/max mode (momentum == -1)
+                new_min = jnp.minimum(x_min.value, cur_min)
+                new_max = jnp.maximum(x_max.value, cur_max)
+            else:
+                new_min = x_min.value * self.momentum + cur_min * (1 - self.momentum)
+                new_max = x_max.value * self.momentum + cur_max * (1 - self.momentum)
+            x_min.value = jnp.where(uninit, cur_min, new_min)
+            x_max.value = jnp.where(uninit, cur_max, new_max)
+
+        if self.quant_mode == 'symmetric':
+            scale = qops.symmetric_quant_scale(self.bits, x_min.value, x_max.value)
+        else:
+            scale = qops.asymmetric_quant_scale(self.bits, x_min.value, x_max.value)
+        signed = self.quant_mode == 'symmetric'
+
+        if pre_act_scale is None or self.fixed_point:
+            if signed:
+                q = qops.quantize_symmetric(x, scale, self.bits)
+            else:
+                q = qops.quantize_asymmetric(x, scale, self.bits)
+        elif branch_scales is not None:
+            # multi-branch concat requant (quant_modules.py:275-286): each
+            # channel slice carries its own producer scale; requant all to
+            # this node's scale.  Weight scale is identity (ratio of 1).
+            pieces = []
+            start = 0
+            for b_scale, c in zip(branch_scales, branch_channels):
+                piece = x[..., start:start + c]
+                pieces.append(qops.dyadic_requant(
+                    piece, b_scale, scale, self.bits, signed))
+                start += c
+            q = jnp.concatenate(pieces, axis=-1)
+        elif identity is None:
+            acc_scale = pre_act_scale * (
+                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
+            q = qops.dyadic_requant(x, acc_scale, scale, self.bits, signed)
+        else:
+            acc_scale = pre_act_scale * (
+                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
+            id_scale = identity_scale * (
+                jnp.ones(()) if identity_weight_scale is None
+                else identity_weight_scale)
+            q = qops.dyadic_requant_residual(x, acc_scale, identity,
+                                             id_scale, scale)
+
+        return q * scale, scale
+
+
+# ---------------------------------------------------------------------------
+# QuantConvBn — conv + folded/unfolded BN
+# ---------------------------------------------------------------------------
+
+class QuantConvBn(nn.Module):
+    """Quantized conv2d with batch norm, foldable.
+
+    Parity target: QuantBnConv2d (quant_modules.py:308-494).  Two modes,
+    selected by the ``folded`` call argument (the trainer owns the fix-BN
+    schedule instead of the reference's hidden per-module counter,
+    quant_modules.py:407-414):
+
+      * unfolded (early QAT): integer conv with weight-only quantization,
+        then batch-statistics BN in float; returned weight scale is
+        conv_scale * gamma / sqrt(var + eps) per channel;
+      * folded (late QAT / frozen): BN folded into weight and bias, folded
+        weight quantized per channel, bias at 32 bits, integer conv.
+
+    Weight layout HWIO; per-channel ranges over the output-channel axis.
+    """
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    groups: int = 1
+    weight_bit: int = 8
+    bias_bit: int = 32
+    per_channel: bool = True
+    weight_percentile: float = 0.0
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, pre_act_scale, *, folded: bool = True,
+                 update_stats: bool = False):
+        in_ch = x.shape[-1] // self.groups
+        kernel = self.param('kernel', nn.initializers.he_normal(),
+                            (*self.kernel_size, in_ch, self.features))
+        gamma = self.param('gamma', nn.initializers.ones, (self.features,))
+        beta = self.param('beta', nn.initializers.zeros, (self.features,))
+        running_mean = self.variable('batch_stats', 'mean',
+                                     lambda: jnp.zeros((self.features,)))
+        running_var = self.variable('batch_stats', 'var',
+                                    lambda: jnp.ones((self.features,)))
+
+        if not folded:
+            # --- unfolded: quantized conv then batch-stats BN in float ---
+            w_flat = kernel.reshape(-1, self.features)
+            if self.per_channel:
+                w_min = jnp.min(w_flat, axis=0)
+                w_max = jnp.max(w_flat, axis=0)
+            else:
+                w_min = jnp.min(w_flat)
+                w_max = jnp.max(w_flat)
+            conv_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
+            w_int = qops.quantize_symmetric(kernel, conv_scale, self.weight_bit)
+            x_int = x / pre_act_scale
+            conv_out = int_conv2d(x_int, w_int, self.strides, self.padding,
+                                  self.groups) * conv_scale * pre_act_scale
+
+            batch_mean = jnp.mean(conv_out, axis=(0, 1, 2))
+            batch_var = jnp.var(conv_out, axis=(0, 1, 2), ddof=1)
+            if update_stats:
+                running_mean.value = (running_mean.value * self.bn_momentum
+                                      + batch_mean * (1 - self.bn_momentum))
+                running_var.value = (running_var.value * self.bn_momentum
+                                     + batch_var * (1 - self.bn_momentum))
+            output_factor = gamma / jnp.sqrt(batch_var + self.bn_eps)
+            out = output_factor * (conv_out - batch_mean) + beta
+            return out, conv_scale * output_factor
+
+        # --- folded path ---
+        running_std = jnp.sqrt(running_var.value + self.bn_eps)
+        bn_factor = gamma / running_std
+        scaled_weight = kernel * bn_factor          # broadcast over Cout
+        scaled_bias = (jnp.zeros((self.features,)) - running_mean.value) \
+            * bn_factor + beta
+
+        w_flat = scaled_weight.reshape(-1, self.features)
+        if self.per_channel:
+            if self.weight_percentile == 0:
+                w_min = jnp.min(w_flat, axis=0)
+                w_max = jnp.max(w_flat, axis=0)
+            else:
+                w_min = jnp.quantile(w_flat, 1 - self.weight_percentile / 100.0,
+                                     axis=0)
+                w_max = jnp.quantile(w_flat, self.weight_percentile / 100.0,
+                                     axis=0)
+                w_min, w_max = jnp.minimum(w_min, w_max), jnp.maximum(w_min, w_max)
+        else:
+            if self.weight_percentile == 0:
+                w_min = jnp.min(scaled_weight)
+                w_max = jnp.max(scaled_weight)
+            else:
+                w_min, w_max = qops.percentile_bounds(
+                    scaled_weight.reshape(-1), 100 - self.weight_percentile,
+                    self.weight_percentile)
+
+        weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
+        w_int = qops.quantize_symmetric(scaled_weight, weight_scale,
+                                        self.weight_bit)
+        bias_scale = weight_scale * pre_act_scale
+        b_int = qops.quantize_symmetric(scaled_bias, bias_scale, self.bias_bit)
+
+        x_int = x / pre_act_scale
+        acc = int_conv2d(x_int, w_int, self.strides, self.padding, self.groups)
+        out = (acc + b_int) * bias_scale
+        return out, weight_scale
+
+
+class QuantConv2d(nn.Module):
+    """Bare quantized conv (no BN) — parity: QuantConv2d (quant_modules.py:605-736).
+
+    Used for the MobileNetV2 1×1 output head.
+    """
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = 'SAME'
+    groups: int = 1
+    weight_bit: int = 8
+    bias_bit: int = 32
+    per_channel: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, pre_act_scale):
+        in_ch = x.shape[-1] // self.groups
+        kernel = self.param('kernel', nn.initializers.he_normal(),
+                            (*self.kernel_size, in_ch, self.features))
+        w_flat = kernel.reshape(-1, self.features)
+        if self.per_channel:
+            w_min = jnp.min(w_flat, axis=0)
+            w_max = jnp.max(w_flat, axis=0)
+        else:
+            w_min = jnp.min(w_flat)
+            w_max = jnp.max(w_flat)
+        weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
+        w_int = qops.quantize_symmetric(kernel, weight_scale, self.weight_bit)
+
+        bias_scale = weight_scale * pre_act_scale
+        x_int = x / pre_act_scale
+        acc = int_conv2d(x_int, w_int, self.strides, self.padding, self.groups)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros, (self.features,))
+            b_int = qops.quantize_symmetric(bias, bias_scale, self.bias_bit)
+            acc = acc + b_int
+        return acc * bias_scale, weight_scale
+
+
+class QuantLinear(nn.Module):
+    """Quantized dense head — parity: QuantLinear (quant_modules.py:12-130)."""
+    features: int
+    weight_bit: int = 8
+    bias_bit: int = 32
+    per_channel: bool = True
+
+    @nn.compact
+    def __call__(self, x, pre_act_scale):
+        in_features = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+        if self.per_channel:
+            w_min = jnp.min(kernel, axis=0)
+            w_max = jnp.max(kernel, axis=0)
+        else:
+            w_min = jnp.min(kernel)
+            w_max = jnp.max(kernel)
+        weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
+        w_int = qops.quantize_symmetric(kernel, weight_scale, self.weight_bit)
+        bias_scale = weight_scale * pre_act_scale
+        b_int = qops.quantize_symmetric(bias, bias_scale, self.bias_bit)
+
+        x_int = x / pre_act_scale
+        acc = int_matmul(x_int, w_int) + b_int
+        return acc * bias_scale
+
+
+# ---------------------------------------------------------------------------
+# Pooling
+# ---------------------------------------------------------------------------
+
+def quant_max_pool(x, scale, window=(3, 3), strides=(2, 2), padding='SAME'):
+    """Max pool is scale-invariant — passthrough (quant_modules.py:497-529)."""
+    y = nn.max_pool(x, window, strides=strides, padding=padding)
+    return y, scale
+
+
+def quant_avg_pool(x, scale, window, strides=(1, 1), padding='VALID'):
+    """Integer average pooling (quant_modules.py:557-602).
+
+    Divide out the scale, round to exact ints, average-pool, truncate the
+    float average to the integer division a hardware pool performs, rescale.
+    """
+    x_int = qops.ste_round(x / scale)
+    pooled = nn.avg_pool(x_int, window, strides=strides, padding=padding)
+    pooled_int = qops.ste_floor_eps(pooled)
+    return pooled_int * scale, scale
+
+
+def quant_global_avg_pool(x, scale):
+    """Global spatial integer average pool → (B, C)."""
+    h, w = x.shape[1], x.shape[2]
+    y, s = quant_avg_pool(x, scale, (h, w))
+    return y.reshape(y.shape[0], -1), s

@@ -1,0 +1,348 @@
+"""Core quantization math, TPU-first.
+
+This module is the single source of truth for the integer numerics of the
+framework.  Every function here is a pure jax function; the same code runs in
+the QAT (fake-quant, differentiable) graph and — numerically bit-for-bit
+identical — in the frozen integer inference engine.  This collapses the
+reference's split between training-side autograd functions
+(/root/reference/utils/quantization_utils/quant_utils.py:216-460) and the
+TVM-side requantize lowering into one definition, which is what makes the
+"exact parity" test strategy (SURVEY.md §4) trivial to satisfy.
+
+Capability parity notes (reference file:line):
+  * symmetric/asymmetric scale computation  — quant_utils.py:128-185
+  * STE quantizers                          — quant_utils.py:216-321
+  * dyadic (m, e) decomposition             — quant_utils.py:188-213 (batch_frexp)
+  * fixed-point requantization, cases 0/1   — quant_utils.py:344-460 (fixedpoint_fn)
+  * integer average pooling truncation      — quant_utils.py:324-341
+
+TPU-native design of the dyadic requant
+---------------------------------------
+The reference decomposes ``scale_ratio ≈ m / 2**e`` with a 31-bit mantissa and
+evaluates ``round(acc * m / 2**e)`` in float64.  TPUs have no fast float64 and
+no int64 VPU path, but the reference's multiplier only ever carries float32
+precision anyway: its scale ratio is deliberately round-tripped through
+float32 ("follow TVM's computation", quant_utils.py:394-396), so the 31-bit
+mantissa holds at most 24 significant bits.  We therefore define the canonical
+dyadic multiplier with a 23-bit mantissa, which makes ``m * 2**-e`` *exactly*
+representable as a float32.  The requant is then a single fused VPU
+multiply-add-floor:
+
+    out = floor(f32(acc) * ldexp(m, -e) + 0.5)
+
+This is still a true dyadic rational multiplier (integer m, power-of-two
+denominator: integer-only DSP hardware could evaluate it exactly); on TPU the
+f32 VPU path *is* the native way to evaluate it.  Because QAT and the frozen
+engine call the very same jitted formula, parity is exact by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Number of mantissa bits in the dyadic multiplier.  23 ⇒ m ∈ [2**22, 2**23],
+# so m and m * 2**-e are exact float32 values.
+DYADIC_MANTISSA_BITS = 23
+
+_EPS = 1e-8  # scale clamp floor, mirrors quant_utils.py:147,150,173
+
+
+def round_half_up(x: jnp.ndarray) -> jnp.ndarray:
+    """Deterministic round-half-up (0.5 → 1, -0.5 → 0).
+
+    The reference rounds with torch.round (banker's rounding) for tensors but
+    decimal.ROUND_HALF_UP for the dyadic mantissa (quant_utils.py:206).  We use
+    half-up everywhere: it is one fused floor on the VPU and self-consistent
+    across the whole framework.
+    """
+    return jnp.floor(x + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Scale computation
+# ---------------------------------------------------------------------------
+
+def symmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
+                          sat_max: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric per-tensor or per-channel scale.
+
+    scale = max(|sat_min|, |sat_max|).clip(1e-8) / (2**(b-1) - 1)
+    Mirrors quant_utils.py:128-152.  Works elementwise, so per-channel falls
+    out of passing vector saturation bounds.
+    """
+    n = 2 ** (num_bits - 1) - 1
+    bound = jnp.maximum(jnp.abs(sat_min), jnp.abs(sat_max))
+    return jnp.clip(bound, min=_EPS) / n
+
+
+def asymmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
+                           sat_max: jnp.ndarray) -> jnp.ndarray:
+    """Asymmetric (scaled-unsigned, zero_point forced 0) scale.
+
+    Only valid post-ReLU, matching the hardware constraint documented at
+    quant_utils.py:155-185.  scale = (max - min).clip(1e-8) / (2**b - 1).
+    """
+    n = 2 ** num_bits - 1
+    return jnp.clip(sat_max - sat_min, min=_EPS) / n
+
+
+def percentile_bounds(x_flat: jnp.ndarray, lower_pct: float,
+                      upper_pct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Percentile min/max of a flat tensor (quant_utils.py:40-70).
+
+    lower_pct / upper_pct are in percent, e.g. (0.1, 99.9) keeps the central
+    99.8%.  Uses jnp.quantile (sorted-based), static under jit.
+    """
+    upper = jnp.quantile(x_flat, upper_pct / 100.0)
+    if lower_pct == 0:
+        lower = jnp.zeros_like(upper)
+    else:
+        lower = jnp.quantile(x_flat, lower_pct / 100.0)
+    return lower, upper
+
+
+# ---------------------------------------------------------------------------
+# STE quantizers
+# ---------------------------------------------------------------------------
+
+def _reshape_scale_like(scale: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-channel scale against x.
+
+    Layout convention is channel-LAST everywhere (NHWC activations, HWIO
+    weights flattened to (..., Cout)), so a 1-D scale broadcasts naturally.
+    Scalar scales broadcast trivially.  (The reference is channels-first and
+    needs shape-cased reshapes, quant_utils.py:83-93; NHWC removes that.)
+    """
+    del x
+    return scale
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def quantize_symmetric(x: jnp.ndarray, scale: jnp.ndarray,
+                       num_bits: int) -> jnp.ndarray:
+    """Symmetric STE quantizer → integer-valued f32 tensor in [-2^(b-1), 2^(b-1)-1].
+
+    Returns the *integer values* (float dtype); callers multiply by scale to
+    get the fake-quant value.  Backward is the straight-through estimator
+    g / scale with no range masking, mirroring SymmetricQuantFunction
+    (quant_utils.py:231-272).
+    """
+    n = 2 ** (num_bits - 1) - 1
+    q = round_half_up(x / _reshape_scale_like(scale, x))
+    return jnp.clip(q, -n - 1, n)
+
+
+def _quantize_symmetric_fwd(x, scale, num_bits):
+    return quantize_symmetric(x, scale, num_bits), scale
+
+
+def _quantize_symmetric_bwd(num_bits, scale, g):
+    return (g / _reshape_scale_like(scale, g), jnp.zeros_like(scale))
+
+
+quantize_symmetric.defvjp(_quantize_symmetric_fwd, _quantize_symmetric_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def quantize_asymmetric(x: jnp.ndarray, scale: jnp.ndarray,
+                        num_bits: int) -> jnp.ndarray:
+    """Asymmetric (unsigned, zero_point=0) STE quantizer → ints in [0, 2^b-1].
+
+    Mirrors AsymmetricQuantFunction (quant_utils.py:275-321); only used for
+    post-ReLU activations.
+    """
+    n = 2 ** num_bits - 1
+    q = round_half_up(x / _reshape_scale_like(scale, x))
+    return jnp.clip(q, 0, n)
+
+
+def _quantize_asymmetric_fwd(x, scale, num_bits):
+    return quantize_asymmetric(x, scale, num_bits), scale
+
+
+def _quantize_asymmetric_bwd(num_bits, scale, g):
+    return (g / _reshape_scale_like(scale, g), jnp.zeros_like(scale))
+
+
+quantize_asymmetric.defvjp(_quantize_asymmetric_fwd, _quantize_asymmetric_bwd)
+
+
+@jax.custom_vjp
+def ste_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through round-half-up (quant_utils.py:216-228)."""
+    return round_half_up(x)
+
+
+ste_round.defvjp(lambda x: (ste_round(x), None), lambda _, g: (g,))
+
+
+@jax.custom_vjp
+def ste_floor_eps(x: jnp.ndarray) -> jnp.ndarray:
+    """trunc(x + 0.01) with STE backward — integer average pooling.
+
+    Converts float-division average pooling into the integer division a
+    hardware avg-pool performs; the 0.01 epsilon absorbs float representation
+    error (e.g. 2 showing up as 1.99999999) and is safe for pool windows up to
+    7×7 (needs 48/49 + eps < 1).  Mirrors
+    transfer_float_averaging_to_int_averaging (quant_utils.py:324-341).
+    """
+    return jnp.trunc(x + 0.01)
+
+
+ste_floor_eps.defvjp(lambda x: (ste_floor_eps(x), None), lambda _, g: (g,))
+
+
+# ---------------------------------------------------------------------------
+# Dyadic requantization (the heart of HAWQ-V3)
+# ---------------------------------------------------------------------------
+
+def dyadic_decompose(scale_ratio: jnp.ndarray,
+                     mantissa_bits: int = DYADIC_MANTISSA_BITS
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decompose a positive scale ratio into (m, e) with ratio ≈ m / 2**e.
+
+    m is an integer in [2**(mb-1), 2**mb] held in float32 (exact), e int32.
+    TPU-native replacement for batch_frexp (quant_utils.py:188-213): same
+    round-half-up mantissa rounding, 23-bit mantissa instead of 31 so that the
+    reconstructed multiplier is an exact float32 (see module docstring).
+    """
+    mant, exp = jnp.frexp(scale_ratio.astype(jnp.float32))
+    m = round_half_up(mant * (2.0 ** mantissa_bits))
+    e = mantissa_bits - exp
+    return m, e.astype(jnp.int32)
+
+
+def dyadic_multiplier(scale_ratio: jnp.ndarray) -> jnp.ndarray:
+    """The exact float32 value of the dyadic multiplier m * 2**-e.
+
+    Snapping a scale ratio to its dyadic grid point; multiplying an int32
+    accumulator by this float32 is bit-identical to evaluating the integer
+    expression round(acc * m / 2**e) up to the documented f32 product
+    rounding, and is the canonical requant multiplier everywhere.
+    """
+    m, e = dyadic_decompose(scale_ratio)
+    return jnp.ldexp(m, -e)
+
+
+def _requant_core(z_int: jnp.ndarray, scale_ratio: jnp.ndarray) -> jnp.ndarray:
+    """round_half_up(z_int * dyadic(scale_ratio)), unclamped."""
+    return round_half_up(z_int * dyadic_multiplier(scale_ratio))
+
+
+def requant_clip_bounds(num_bits: int, signed: bool) -> Tuple[float, float]:
+    if signed:
+        n = 2 ** (num_bits - 1) - 1
+        return float(-n - 1), float(n)
+    return 0.0, float(2 ** num_bits - 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def dyadic_requant(z: jnp.ndarray, acc_scale: jnp.ndarray,
+                   out_scale: jnp.ndarray,
+                   num_bits: int, signed: bool) -> jnp.ndarray:
+    """Requantize an int32-valued accumulator tensor to num_bits.
+
+    z            — accumulator *value* tensor (= z_int * acc_scale, float)
+    acc_scale    — product s_act * s_weight of the producing layer
+                   (scalar or per-channel over the last axis)
+    out_scale    — target activation scale (scalar)
+    returns      — integer values in the target bit range (float dtype)
+
+    Mirrors fixedpoint_fn case 0 (quant_utils.py:390-413): recover z_int,
+    snap acc_scale/out_scale to the dyadic grid, multiply, round, clamp.
+    Backward is STE scaled by 1/out_scale (quant_utils.py:458-460).
+    """
+    z_int = round_half_up(z / acc_scale)
+    out = _requant_core(z_int, acc_scale / out_scale)
+    lo, hi = requant_clip_bounds(num_bits, signed)
+    return jnp.clip(out, lo, hi)
+
+
+def _dyadic_requant_fwd(z, acc_scale, out_scale, num_bits, signed):
+    out = dyadic_requant(z, acc_scale, out_scale, num_bits, signed)
+    return out, (acc_scale, out_scale)
+
+
+def _dyadic_requant_bwd(num_bits, signed, res, g):
+    acc_scale, out_scale = res
+    return (g / out_scale, jnp.zeros_like(acc_scale), jnp.zeros_like(out_scale))
+
+
+dyadic_requant.defvjp(_dyadic_requant_fwd, _dyadic_requant_bwd)
+
+
+@jax.custom_vjp
+def dyadic_requant_residual(z: jnp.ndarray, acc_scale: jnp.ndarray,
+                            identity: jnp.ndarray, identity_scale: jnp.ndarray,
+                            out_scale: jnp.ndarray) -> jnp.ndarray:
+    """Residual-add requantization — fixedpoint_fn case 1 (quant_utils.py:415-456).
+
+    z is the *sum* main + identity (both int·scale tensors); the two branches
+    are separated, each requantized with its own dyadic multiplier to the
+    common out_scale, rounded independently, then added.  Note: like the
+    reference, the sum is NOT clamped here (the residual carries the
+    16-bit-config precision); the following QuantAct clamps.
+    """
+    main = z - identity
+    main_int = round_half_up(main / acc_scale)
+    id_int = round_half_up(identity / identity_scale)
+    out_main = _requant_core(main_int, acc_scale / out_scale)
+    out_id = _requant_core(id_int, identity_scale / out_scale)
+    return out_main + out_id
+
+
+def _dyadic_requant_residual_fwd(z, acc_scale, identity, identity_scale,
+                                 out_scale):
+    res = dyadic_requant_residual(z, acc_scale, identity, identity_scale,
+                                  out_scale)
+    return res, (acc_scale, identity_scale, out_scale)
+
+
+def _dyadic_requant_residual_bwd(saved, g):
+    acc_scale, identity_scale, out_scale = saved
+    # STE: gradient flows to the summed input only, scaled by 1/out_scale,
+    # matching fixedpoint_fn.backward (quant_utils.py:458-460).
+    return (g / out_scale, jnp.zeros_like(acc_scale), jnp.zeros_like(g),
+            jnp.zeros_like(identity_scale), jnp.zeros_like(out_scale))
+
+
+dyadic_requant_residual.defvjp(_dyadic_requant_residual_fwd,
+                               _dyadic_requant_residual_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pure integer-side helpers (frozen inference engine)
+# ---------------------------------------------------------------------------
+
+def requant_int32(acc: jnp.ndarray, multiplier: jnp.ndarray,
+                  num_bits: int, signed: bool,
+                  out_dtype: jnp.dtype = jnp.int8) -> jnp.ndarray:
+    """Frozen-engine requant: int32 accumulator → num_bits integers.
+
+    ``multiplier`` must come from :func:`dyadic_multiplier` (host- or
+    trace-time).  This is the same arithmetic as :func:`dyadic_requant` minus
+    the scale bookkeeping — used in the integer graph where activations are
+    real int8/int32 arrays rather than int·scale floats.  Pick out_dtype int8
+    for ≤8-bit targets, int32 for the 16-bit residual-precision nodes.
+    """
+    out = round_half_up(acc.astype(jnp.float32) * multiplier)
+    lo, hi = requant_clip_bounds(num_bits, signed)
+    return jnp.clip(out, lo, hi).astype(out_dtype)
+
+
+def requant_add_int32(acc: jnp.ndarray, acc_multiplier: jnp.ndarray,
+                      identity: jnp.ndarray, id_multiplier: jnp.ndarray) -> jnp.ndarray:
+    """Frozen-engine dual-branch residual requant-add → int32.
+
+    Matches :func:`dyadic_requant_residual` exactly: each branch rounds with
+    its own dyadic multiplier, the sum is left unclamped (it carries the
+    16-bit residual precision of the quant_act_int32 nodes) and stays in an
+    int32 container until the next unit's input requant narrows it.
+    """
+    a = round_half_up(acc.astype(jnp.float32) * acc_multiplier)
+    b = round_half_up(identity.astype(jnp.float32) * id_multiplier)
+    return (a + b).astype(jnp.int32)

@@ -1,0 +1,152 @@
+"""QAT training loop — jit/pjit train step, SGD + step decay, KD, BN schedule.
+
+Parity targets in /root/reference/quant_train.py:
+  * train()/loss           — :484-530 (CE + SGD, top-1/top-5 meters)
+  * train_kd()/loss_kd     — :533-622, 750-762 (KL(student/T, teacher/T)·αT²
+                              + CE·(1-α))
+  * adjust_learning_rate   — :725-729 (lr × 0.1 every 30 epochs)
+  * fix-BN schedule        — quant_modules.py:407-414 (auto-switch to folded
+                              BN after fix_BN_threshold steps) — here the
+                              trainer owns the schedule explicitly
+  * freeze/eval/unfreeze   — :625-674 via update_stats=False
+
+TPU-native: the step is one jitted function over a jax.sharding.Mesh; the
+batch is sharded over the 'data' axis and parameters are replicated.  Range
+statistics (EMA min/max) and BN batch stats are computed on the *logical
+global* batch under GSPMD, so all replicas hold identical statistics — this
+fixes the reference's multi-GPU BN divergence (model_zoo.md:70) by
+construction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    quant_stats: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables: Mapping, tx: optax.GradientTransformation):
+        params = variables['params']
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   quant_stats=variables['quant_stats'],
+                   batch_stats=variables.get('batch_stats', {}),
+                   opt_state=tx.init(params), tx=tx)
+
+    def variables(self) -> Mapping:
+        return {'params': self.params, 'quant_stats': self.quant_stats,
+                'batch_stats': self.batch_stats}
+
+
+def sgd_with_step_decay(base_lr: float, momentum: float = 0.9,
+                        weight_decay: float = 1e-4,
+                        decay_every_steps: Optional[int] = None,
+                        decay_factor: float = 0.1):
+    """SGD + momentum + weight decay, lr stepped ×decay_factor periodically
+    (quant_train.py:725-729's epoch-level 10× decay, expressed in steps)."""
+    if decay_every_steps is None:
+        sched = base_lr
+    else:
+        sched = lambda step: base_lr * decay_factor ** (step // decay_every_steps)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate=sched, momentum=momentum))
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def kd_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
+            labels: jnp.ndarray, alpha: float = 0.95,
+            temperature: float = 6.0) -> jnp.ndarray:
+    """KD_naive distillation loss (quant_train.py:750-762)."""
+    t = temperature
+    kl = optax.kl_divergence(
+        jax.nn.log_softmax(student_logits / t, axis=-1),
+        jax.nn.softmax(teacher_logits / t, axis=-1)).mean()
+    ce = cross_entropy(student_logits, labels)
+    return kl * (alpha * t * t) + ce * (1.0 - alpha)
+
+
+def make_train_step(model, *, folded: bool,
+                    distill_alpha: Optional[float] = None,
+                    temperature: float = 6.0) -> Callable:
+    """Build the jitted QAT train step.
+
+    ``folded`` selects the BN mode statically (two compiled versions; the
+    trainer flips at fix_BN_threshold).  If ``distill_alpha`` is set, the
+    batch must carry 'teacher_logits'.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Mapping) -> Tuple[TrainState, Mapping]:
+        def loss_fn(params):
+            logits, mut = model.apply(
+                {'params': params, 'quant_stats': state.quant_stats,
+                 'batch_stats': state.batch_stats},
+                batch['image'], folded=folded, update_stats=True,
+                mutable=['quant_stats', 'batch_stats'])
+            if distill_alpha is not None:
+                loss = kd_loss(logits, batch['teacher_logits'], batch['label'],
+                               distill_alpha, temperature)
+            else:
+                loss = cross_entropy(logits, batch['label'])
+            return loss, (logits, mut)
+
+        (loss, (logits, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            quant_stats=mut['quant_stats'],
+            batch_stats=mut.get('batch_stats', state.batch_stats))
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch['label']).astype(jnp.float32))
+        return new_state, {'loss': loss, 'accuracy': acc}
+
+    return train_step
+
+
+def make_eval_step(model, *, folded: bool = True) -> Callable:
+    """Frozen-range eval step (freeze_model → eval → unfreeze of
+    quant_train.py:625-674 becomes simply update_stats=False)."""
+
+    @jax.jit
+    def eval_step(variables: Mapping, batch: Mapping) -> Mapping:
+        logits = model.apply(variables, batch['image'], folded=folded,
+                             update_stats=False)
+        top1 = (jnp.argmax(logits, -1) == batch['label']).astype(jnp.float32)
+        top5 = (jax.lax.top_k(logits, 5)[1] == batch['label'][:, None]
+                ).any(axis=-1).astype(jnp.float32)
+        return {'top1': top1.mean(), 'top5': top5.mean(),
+                'loss': cross_entropy(logits, batch['label'])}
+
+    return eval_step
+
+
+def make_calibration_step(model, *, folded: bool = True) -> Callable:
+    """Range-calibration pass: forward only, updating quant stats."""
+
+    @jax.jit
+    def calib_step(variables: Mapping, images: jnp.ndarray) -> Mapping:
+        _, mut = model.apply(variables, images, folded=folded,
+                             update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**dict(variables), **dict(mut)}
+
+    return calib_step

@@ -1,0 +1,80 @@
+"""QAT-graph ↔ integer-engine bit-exact parity.
+
+The framework's central correctness property, promoted from the reference's
+golden-featuremap debug_unit mechanism (/root/reference/tvm_benchmark/
+test_resnet_inference.py:128-181, "100% matched!"): the frozen QAT forward
+(value space, int·scale floats) and the integer engine (int8/int32 arrays)
+must produce identical integer logits.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hawq_tpu.configs.bit_config import get_bit_config
+from hawq_tpu.models.resnet import QResNet
+from hawq_tpu.inference.freeze import freeze_resnet, model_size_bytes
+from hawq_tpu.inference.engine import build_resnet_engine
+
+
+def _calibrated_model(arch, scheme, num_classes=10, size=32, batch=2, seed=0):
+    cfg = get_bit_config(arch, scheme)
+    model = QResNet(arch=arch, cfg=cfg, num_classes=num_classes)
+    rng = np.random.RandomState(seed)
+    x = jnp.array(rng.randn(batch, size, size, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(3):
+        v = calib(v, x)
+    return model, cfg, v, x
+
+
+@pytest.mark.parametrize('arch,scheme', [
+    ('tiny18', 'uniform8'),
+    ('tiny18', 'uniform4'),
+    ('tiny50', 'uniform8'),
+    ('tiny50', 'uniform4'),
+])
+def test_qat_engine_parity(arch, scheme):
+    model, cfg, v, x = _calibrated_model(arch, scheme)
+    qat_logits = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, folded=True, update_stats=False))(v, x))
+
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), arch, cfg, num_classes=10)
+    eng_logits = np.asarray(build_resnet_engine(fm)(x))
+
+    out_scale = (fm['quant_output.weight_scale'].astype(np.float64)
+                 * np.float64(fm.act_scale('quant_act_output')))
+    qat_int = np.round(qat_logits / out_scale)
+    eng_int = np.round(eng_logits / out_scale)
+    mismatches = int(np.sum(qat_int != eng_int))
+    assert mismatches == 0, (
+        f'{mismatches}/{qat_int.size} integer logits differ; '
+        f'max |Δ| = {np.max(np.abs(qat_logits / out_scale - eng_logits / out_scale))}')
+
+
+def test_model_size_w4_half_of_w8():
+    _, cfg8, v, _ = _calibrated_model('tiny50', 'uniform8')
+    fm8 = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg8, 10)
+    cfg4 = get_bit_config('tiny50', 'uniform4')
+    fm4 = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg4, 10)
+    s8, s4 = model_size_bytes(fm8), model_size_bytes(fm4)
+    # tiny models carry proportionally large per-channel scale/bias overhead;
+    # real resnet18 lands at 11.1 MB → 5.8 MB (README.md:47,49)
+    assert s4 < 0.85 * s8
+
+
+def test_engine_jits_once_and_is_pure():
+    model, cfg, v, x = _calibrated_model('tiny18', 'uniform8')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny18', cfg, 10)
+    engine = build_resnet_engine(fm)
+    a = np.asarray(engine(x))
+    b = np.asarray(engine(x))
+    np.testing.assert_array_equal(a, b)
