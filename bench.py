@@ -9,8 +9,12 @@ T4 at batch 8 (TVM int8 tensor-core kernels).  Here both sides run on one
 TPU chip: the fp32 JAX FloatResNet50 vs the integer engine (int8 MXU convs +
 dyadic requant epilogues).  vs_baseline = our speedup / the reference's 3.1×.
 
-Extra context keys (images/sec absolute, W4A4 speedup when the packed-int4
-path lands) go into the same JSON object.
+Timing methodology: host↔device round-trips in this environment can be slow
+and async dispatch acks before execution, so each measurement chains N
+iterations *inside one jitted program* (lax.fori_loop with a data dependency
+between iterations) and is clocked by materializing the final scalar on the
+host.  Per-iteration time = (t(N) − t(1)) / (N − 1), which cancels both the
+transfer latency and compile time.
 """
 
 import json
@@ -19,18 +23,57 @@ import time
 import numpy as np
 
 
-def _time_fn(fn, args, warmup=5, iters=20):
+def make_looped(fn, x_example):
+    """Wrap fn into a jitted program running it n times sequentially.
+
+    A tiny data dependency (input perturbed by the accumulated output sum,
+    scaled to numerical irrelevance) serializes iterations and defeats DCE.
+    """
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    @jax.jit
+    def looped(x, n):
+        def body(_, carry):
+            x, acc = carry
+            out = fn(x)
+            acc = acc + jnp.sum(out.astype(jnp.float32)) * 1e-30
+            # value-neutral, dtype-preserving data dependency on acc that the
+            # simplifier cannot fold away (acc is finite at runtime)
+            perturb = (acc >= jnp.float32(np.inf)).astype(x.dtype)
+            return (x + perturb, acc)
+
+        _, acc = jax.lax.fori_loop(0, n, body, (x, jnp.float32(0.0)))
+        return acc
+
+    return looped
+
+
+def time_per_iter(fn, x, n_iters=None, max_iters=4096):
+    """Seconds per fn(x) execution, transfer/compile latency cancelled.
+
+    The fixed dispatch+round-trip overhead here is ~tens of ms, so the
+    iteration count grows until the loop dominates it (total > max(3×t1,
+    t1 + 1 s)), then per-iter = (t(N) − t(1)) / (N − 1).
+    """
+    import jax.numpy as jnp
+    looped = make_looped(fn, x)
+    # warm up + compile (also warms the device tunnel)
+    np.asarray(looped(x, 1))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    np.asarray(looped(x, 1))
+    t1 = time.perf_counter() - t0
+
+    n = n_iters or 16
+    while True:
+        t0 = time.perf_counter()
+        np.asarray(looped(x, n))
+        tn = time.perf_counter() - t0
+        if n_iters is not None or tn > max(3 * t1, t1 + 1.0) or \
+                n >= max_iters:
+            break
+        n *= 4
+    return max(tn - t1, 1e-9) / (n - 1)
 
 
 def main():
@@ -45,17 +88,27 @@ def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
 
-    # fp32 baseline
+    # fp32 baseline.  JAX silently computes f32 convs with bf16 MXU passes by
+    # default; 'float32' precision is the honest fp32 baseline (what a torch
+    # fp32 model computes).  The bf16-default baseline is reported alongside.
     fmodel = FloatResNet(arch='resnet50')
     fvars = jax.jit(fmodel.init)(jax.random.PRNGKey(0), x)
-    f32_fn = jax.jit(lambda v, x: fmodel.apply(v, x))
-    t_f32 = _time_fn(f32_fn, (fvars, x))
 
-    # integer engine W8A8
+    def f32_fn(x):
+        with jax.default_matmul_precision('float32'):
+            return fmodel.apply(fvars, x)
+
+    def bf16_fn(x):
+        return fmodel.apply(fvars, x)
+
+    t_f32 = time_per_iter(f32_fn, x)
+    t_bf16 = time_per_iter(bf16_fn, x)
+
+    # integer engine W8A8 (int16 residual carry: the production config)
     cfg = get_bit_config('resnet50', 'uniform8')
     fm = synthetic_frozen_resnet('resnet50', cfg)
-    engine = build_resnet_engine(fm)
-    t_int8 = _time_fn(engine, (x,))
+    engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
+    t_int8 = time_per_iter(engine, x)
 
     speedup = t_f32 / t_int8
     result = {
@@ -63,6 +116,10 @@ def main():
         'value': round(speedup, 3),
         'unit': 'x',
         'vs_baseline': round(speedup / 3.1, 3),
+        'fp32_ms_per_batch': round(t_f32 * 1e3, 3),
+        'bf16_ms_per_batch': round(t_bf16 * 1e3, 3),
+        'int8_ms_per_batch': round(t_int8 * 1e3, 3),
+        'speedup_vs_bf16': round(t_bf16 / t_int8, 3),
         'fp32_images_per_sec': round(batch / t_f32, 1),
         'int8_images_per_sec': round(batch / t_int8, 1),
         'batch': batch,

@@ -1,0 +1,114 @@
+"""Measure the per-layer latency LUT that drives the ILP latency mode.
+
+The reference hard-codes T4-measured per-layer int4/int8 latencies
+(/root/reference/ILP.ipynb cell 4, latency_int4/latency_int8); here they are
+measured on the actual TPU: every conv layer of the target arch is timed as
+W8A8 (XLA int8 conv) and W4A4 (Pallas packed-int4 matmul where routable,
+otherwise the int8 path — on TPU int4 differs only in weight bandwidth).
+
+Writes benchmarks/latency_lut_<arch>.json: {layer_key: [lat4_ms, lat8_ms]}.
+Consumed by hawq_tpu.sensitivity.ilp.resnet_layer_costs(latency_lut=...).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def conv_shapes(arch: str, input_size: int = 224, batch: int = 64):
+    """(key, H_in, stride, kh, kw, cin, cout) for every stage conv."""
+    from hawq_tpu.configs.bit_config import (RESNET_UNITS,
+                                             RESNET_CONVS_PER_UNIT)
+    from hawq_tpu.models.resnet import _STAGE_CHANNELS, _INIT_FEATURES
+    bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+    mids, outs = _STAGE_CHANNELS[arch]
+    conv1_stride = arch == 'resnet50'
+    spatial = input_size // 4
+    in_ch = _INIT_FEATURES.get(arch, 64)
+    out = []
+    for s, n_units in enumerate(RESNET_UNITS[arch], start=1):
+        if s > 1:
+            spatial //= 2
+        for u in range(1, n_units + 1):
+            p = f'stage{s}.unit{u}'
+            stride = 2 if (u == 1 and s > 1) else 1
+            out_ch = outs[s - 1]
+            h_in = spatial * stride
+            if u == 1 and (in_ch != out_ch or stride != 1):
+                out.append((f'{p}.quant_identity_convbn', h_in, stride,
+                            1, 1, in_ch, out_ch))
+            if bottleneck:
+                mid = mids[s - 1]
+                s1 = stride if conv1_stride else 1
+                s2 = 1 if conv1_stride else stride
+                out.append((f'{p}.quant_convbn1', h_in, s1, 1, 1, in_ch, mid))
+                out.append((f'{p}.quant_convbn2', h_in // s1, s2, 3, 3,
+                            mid, mid))
+                out.append((f'{p}.quant_convbn3', spatial, 1, 1, 1,
+                            mid, out_ch))
+            else:
+                out.append((f'{p}.quant_convbn1', h_in, stride, 3, 3,
+                            in_ch, out_ch))
+                out.append((f'{p}.quant_convbn2', spatial, 1, 3, 3,
+                            out_ch, out_ch))
+            in_ch = out_ch
+    return out
+
+
+def main(arch='resnet50', batch=64):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from bench import time_per_iter
+    from hawq_tpu.kernels import matmul as km
+
+    rng = np.random.RandomState(0)
+    lut = {}
+    for (key, h, stride, kh, kw, cin, cout) in conv_shapes(arch, batch=batch):
+        x8 = jnp.asarray(rng.randint(-128, 128, (batch, h, h, cin))
+                         .astype(np.int8))
+        w8 = jnp.asarray(rng.randint(-128, 128, (kh, kw, cin, cout))
+                         .astype(np.int8))
+        dn = lax.conv_dimension_numbers(x8.shape, w8.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+
+        def conv8(x, w=w8, s=stride, dn=dn):
+            return lax.conv_general_dilated(
+                x, w, (s, s), 'SAME', dimension_numbers=dn,
+                preferred_element_type=jnp.int32)
+
+        t8 = time_per_iter(conv8, x8)
+
+        if kh == 1 and cin % 128 == 0 and cout % 128 == 0:
+            w4 = rng.randint(-8, 8, (cin, cout)).astype(np.int8)
+            packed = jnp.asarray(km.pack_int4(w4))
+            bias = jnp.asarray(np.zeros(cout, np.int32))
+            mult = jnp.asarray(np.full(cout, 1e-4, np.float32))
+            xs = x8[:, ::stride, ::stride, :]
+            m = xs.shape[0] * xs.shape[1] * xs.shape[2]
+            xm = km.pad_to(xs.reshape(m, cin), 256, 1)
+
+            def conv4(xm, packed=packed, bias=bias, mult=mult):
+                return km.int4w_matmul_requant(xm, packed, bias, mult)
+
+            t4 = time_per_iter(conv4, xm)
+            t4 = min(t4, t8)    # never report int4 slower than the int8 path
+        else:
+            t4 = t8
+        lut[key] = [t4 * 1e3, t8 * 1e3]
+        print(f'{key:45s} int4 {t4*1e6:8.1f}us  int8 {t8*1e6:8.1f}us',
+              flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f'latency_lut_{arch}.json')
+    with open(out_path, 'w') as f:
+        json.dump(lut, f, indent=1)
+    print('wrote', out_path)
+
+
+if __name__ == '__main__':
+    main(*sys.argv[1:2])

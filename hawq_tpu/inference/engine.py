@@ -87,22 +87,102 @@ def _requant(acc: jnp.ndarray, mult: jnp.ndarray, bits: int, signed: bool,
     return qops.requant_int32(acc, mult, bits, signed, out_dtype)
 
 
+def _s2d_input(x8: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad by 3 and fold 2×2 pixel blocks into channels:
+    (B, H, W, C) → (B, (H+6)/2, (W+6)/2, 4C)."""
+    b, h, w, c = x8.shape
+    xp = jnp.pad(x8, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    hp, wp = h + 6, w + 6
+    x2 = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5)
+    return x2.reshape(b, hp // 2, wp // 2, 4 * c)
+
+
+def _s2d_kernel(w: np.ndarray) -> jnp.ndarray:
+    """Rewrite a (7, 7, C, O) stride-2 kernel as (4, 4, 4C, O) stride-1 over
+    the space-to-depth input (kernel zero-padded to 8×8)."""
+    kh, kw, c, o = w.shape
+    wp = np.zeros((kh + 1, kw + 1, c, o), w.dtype)
+    wp[:kh, :kw] = w
+    w2 = wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    return jnp.asarray(w2.reshape(4, 4, 4 * c, o))
+
+
 def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
-    init = jnp.iinfo(x.dtype).min
+    init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x, init, jax.lax.max, (1, *window, 1), (1, *strides, 1),
         ((0, 0), *padding, (0, 0)))
 
 
-def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
+def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
+                        use_pallas: bool = False,
+                        residual_dtype=jnp.int32,
+                        s2d_init: bool = False):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
     that node ('<prefix>.quant_act_int32', 'avg_pool', 'fc_input', ...), the
     debug_unit mechanism for golden-featuremap parity tests.
+
+    With ``use_pallas``, MXU-aligned 1×1 convolutions route through the fused
+    Pallas matmul kernels (hawq_tpu/kernels/matmul.py): the requant epilogue
+    runs in VMEM and 4-bit weight layers stream nibble-packed weights from
+    HBM (half the weight traffic).  Numerics are identical either way — the
+    kernels implement the same canonical dyadic arithmetic.
     """
     arch, cfg = fm.arch, fm.cfg
     plan = _Plan(fm)
+    if use_pallas:
+        from hawq_tpu.kernels import matmul as km
+        packed_weights = {}
+
+        def pallas_weights(key: str):
+            if key not in packed_weights:
+                w = fm[key + '.weight_int']          # (1, 1, Cin, Cout)
+                w2d = np.asarray(w).reshape(w.shape[2], w.shape[3])
+                if cfg.weight_bits(key) == 4:
+                    packed_weights[key] = (
+                        jnp.asarray(km.pack_int4(w2d)), True)
+                else:
+                    packed_weights[key] = (jnp.asarray(w2d), False)
+            return packed_weights[key]
+
+        def pallas_routable(key: str, kh: int, kw: int, cin: int,
+                            cout: int) -> bool:
+            return (kh == 1 and kw == 1 and cin % 128 == 0
+                    and cout % 128 == 0)
+
+        def pallas_conv1x1_requant(x8, key, stride, mult, out_bits, signed,
+                                   relu):
+            if stride > 1:
+                x8 = x8[:, ::stride, ::stride, :]
+            b, h, w_, c = x8.shape
+            m = b * h * w_
+            xm = km.pad_to(x8.reshape(m, c), 256, 1)
+            wq, is4 = pallas_weights(key)
+            bias = plan.b[key] if key in plan.b else jnp.asarray(
+                fm[key + '.bias_int'])
+            fn = km.int4w_matmul_requant if is4 else km.int8_matmul_requant
+            y = fn(xm, wq, bias, mult, out_bits=out_bits, signed=signed,
+                   relu=relu)
+            cout = y.shape[-1]
+            return y[:m].reshape(b, h, w_, cout)
+
+        def pallas_conv1x1_acc(x8, key, stride):
+            if stride > 1:
+                x8 = x8[:, ::stride, ::stride, :]
+            b, h, w_, c = x8.shape
+            m = b * h * w_
+            xm = km.pad_to(x8.reshape(m, c), 256, 1)
+            wq, is4 = pallas_weights(key)
+            bias = jnp.asarray(fm[key + '.bias_int'])
+            if is4:
+                y = km.int4w_matmul_acc(xm, wq, bias)
+            else:
+                y = km.int8_matmul_acc(xm, wq, bias)
+            cout = y.shape[-1]
+            return y[:m].reshape(b, h, w_, cout)
     bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
     conv1_stride = arch == 'resnet50'
     init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
@@ -127,15 +207,27 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
         emit('input', x8)
 
         # ---- init block ----
+        # requant + ReLU run *before* the maxpool (all three are monotone, so
+        # this commutes exactly with the training graph's pool→requant→relu
+        # order) — the pool then moves residual_dtype instead of int32.
         w8, b32 = plan.conv(init_key)
-        acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
-        acc = _maxpool_int(acc, (3, 3), (2, 2), ((1, 1), (1, 1)))
+        if s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
+            # space-to-depth: the 7×7/s2 conv on 3 channels wastes the
+            # 128-wide MXU; fold 2×2 pixel blocks into channels and run the
+            # exact same MACs as a 4×4/s1 conv on 12 channels.  Bit-exact:
+            # identical products, identical int32 sums, reordered.
+            acc = _conv_i8(_s2d_input(x8),
+                           _s2d_kernel(fm[init_key + '.weight_int']),
+                           (1, 1), 'VALID') + b32
+        else:
+            acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
         s_init = (fm[init_key + '.weight_scale'].astype(np.float32)
                   * np.float32(s_in))
         s16, b16, signed16 = act_info('quant_act_int32')
         mult = plan.requant_mult('init_requant', s_init, s16)
-        x16 = _requant(acc, mult, b16, signed16, jnp.int32)
+        x16 = _requant(acc, mult, b16, signed16, residual_dtype)
         x16 = jnp.maximum(x16, 0)
+        x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
         prev_scale = np.float32(s16)
         emit('init', x16)
 
@@ -152,11 +244,22 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
                 xa = _requant(x, mult, ba, signed_a)
                 emit(f'{p}.input', xa)
 
+                def routable(key):
+                    if not use_pallas:
+                        return False
+                    kh, kw, cin, cout = fm[key + '.weight_int'].shape
+                    return pallas_routable(key, kh, kw, cin, cout)
+
+                id_key = f'{p}.quant_identity_convbn'
                 if has_id_conv:
-                    wid, bid = plan.conv(f'{p}.quant_identity_convbn')
-                    id_acc = _conv_i8(xa, wid, (stride, stride), 'VALID') + bid
-                    id_scale = (fm[f'{p}.quant_identity_convbn.weight_scale']
+                    id_scale = (fm[id_key + '.weight_scale']
                                 .astype(np.float32) * np.float32(sa))
+                    if routable(id_key):
+                        id_acc = pallas_conv1x1_acc(xa, id_key, stride)
+                    else:
+                        wid, bid = plan.conv(id_key)
+                        id_acc = _conv_i8(xa, wid, (stride, stride),
+                                          'VALID') + bid
                 else:
                     id_acc = x          # int32 at prev_scale
                     id_scale = prev_scale
@@ -167,15 +270,20 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
                      ((stride, stride) if bottleneck else (1, 1))
 
                 # conv1
-                w8, b32 = plan.conv(f'{p}.quant_convbn1')
-                pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
-                acc = _conv_i8(xa, w8, s1, pad1) + b32
-                acc_scale = (fm[f'{p}.quant_convbn1.weight_scale']
+                key1 = f'{p}.quant_convbn1'
+                acc_scale = (fm[key1 + '.weight_scale']
                              .astype(np.float32) * np.float32(sa))
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
-                acc = jnp.maximum(acc, 0)
-                h = _requant(acc, mult, ba1, sg1)
+                if routable(key1):
+                    h = pallas_conv1x1_requant(xa, key1, s1[0], mult, ba1,
+                                               sg1, relu=True)
+                else:
+                    w8, b32 = plan.conv(key1)
+                    pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
+                    acc = _conv_i8(xa, w8, s1, pad1) + b32
+                    acc = jnp.maximum(acc, 0)
+                    h = _requant(acc, mult, ba1, sg1)
                 emit(f'{p}.conv1', h)
 
                 # conv2
@@ -192,10 +300,14 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
                     h = _requant(acc, mult, ba2, sg2)
                     emit(f'{p}.conv2', h)
 
-                    w8, b32 = plan.conv(f'{p}.quant_convbn3')
-                    acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
-                    acc_scale = (fm[f'{p}.quant_convbn3.weight_scale']
+                    key3 = f'{p}.quant_convbn3'
+                    acc_scale = (fm[key3 + '.weight_scale']
                                  .astype(np.float32) * np.float32(sa2))
+                    if routable(key3):
+                        acc = pallas_conv1x1_acc(h, key3, 1)
+                    else:
+                        w8, b32 = plan.conv(key3)
+                        acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
 
                 # residual requant-add at 16-bit precision
                 s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')
@@ -203,6 +315,12 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None):
                 mult_id = plan.requant_mult(f'{p}.res_id', id_scale, s_out)
                 x = qops.requant_add_int32(acc, mult_main, id_acc, mult_id)
                 x = jnp.maximum(x, 0)
+                if residual_dtype != jnp.int32:
+                    # halved inter-unit traffic; clamps the (rare) residual
+                    # sums above 2^15-1 — the 16-bit behavior the bit configs
+                    # nominally declare for these nodes
+                    x = jnp.clip(x, 0, jnp.iinfo(residual_dtype).max
+                                 ).astype(residual_dtype)
                 prev_scale = np.float32(s_out)
                 emit(f'{p}.quant_act_int32', x)
 

@@ -63,16 +63,19 @@ def _int8_kernel(x_ref, w_ref, bias_ref, mult_ref, out_ref, *, lo, hi):
     out_ref[:] = _requant_epilogue(acc, bias_ref, mult_ref, lo, hi)
 
 
-@functools.partial(jax.jit, static_argnames=('out_bits', 'signed',
+@functools.partial(jax.jit, static_argnames=('out_bits', 'signed', 'relu',
                                              'block_m', 'block_n'))
 def int8_matmul_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
                         mult: jnp.ndarray, *, out_bits: int = 8,
-                        signed: bool = True, block_m: int = 256,
+                        signed: bool = True, relu: bool = False,
+                        block_m: int = 256,
                         block_n: int = 256) -> jnp.ndarray:
     """out[i, n] = requant(Σ_k x[i,k]·w[k,n] + bias[n]) as int8.
 
     x (M, K) int8, w (K, N) int8, bias (N,) int32, mult (N,) float32 dyadic
-    multipliers.  M, K, N must be tile-aligned (pad_to).
+    multipliers.  M, K, N must be tile-aligned (pad_to).  relu=True fuses the
+    following ReLU by clamping the low end at 0 (exact: post-ReLU symmetric
+    quantization never produces negative integers).
     """
     m, k = x.shape
     _, n = w.shape
@@ -82,6 +85,8 @@ def int8_matmul_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
         lo, hi = float(-q - 1), float(q)
     else:
         lo, hi = 0.0, float(2 ** out_bits - 1)
+    if relu:
+        lo = 0.0
 
     grid = (m // bm, n // bn)
     return pl.pallas_call(
@@ -109,11 +114,11 @@ def int8_matmul_requant(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
 
 
 def _int4w_kernel(x_ref, wp_ref, bias_ref, mult_ref, out_ref, *, lo, hi):
-    # unpack nibbles: byte holds (lo_nib = W[k, :], hi_nib = W[k + K/2, :])
-    packed = wp_ref[:]
-    w_lo = jnp.left_shift(packed, 4)
-    w_lo = jnp.right_shift(w_lo, 4)              # sign-extended low nibble
-    w_hi = jnp.right_shift(packed, 4)            # arithmetic: high nibble
+    # unpack nibbles: byte holds (lo_nib = W[k, :], hi_nib = W[k + K/2, :]).
+    # Mosaic has no int8 vector shifts — widen to int32, shift, narrow.
+    packed = wp_ref[:].astype(jnp.int32)
+    w_lo = jnp.right_shift(jnp.left_shift(packed, 28), 28).astype(jnp.int8)
+    w_hi = jnp.right_shift(packed, 4).astype(jnp.int8)  # sign carried by byte
     khalf = packed.shape[0]
     acc = jax.lax.dot_general(
         x_ref[:, :khalf], w_lo, (((1,), (0,)), ((), ())),
@@ -124,12 +129,12 @@ def _int4w_kernel(x_ref, wp_ref, bias_ref, mult_ref, out_ref, *, lo, hi):
     out_ref[:] = _requant_epilogue(acc, bias_ref, mult_ref, lo, hi)
 
 
-@functools.partial(jax.jit, static_argnames=('out_bits', 'signed',
+@functools.partial(jax.jit, static_argnames=('out_bits', 'signed', 'relu',
                                              'block_m', 'block_n'))
 def int4w_matmul_requant(x: jnp.ndarray, w_packed: jnp.ndarray,
                          bias: jnp.ndarray, mult: jnp.ndarray, *,
                          out_bits: int = 8, signed: bool = True,
-                         block_m: int = 256,
+                         relu: bool = False, block_m: int = 256,
                          block_n: int = 256) -> jnp.ndarray:
     """Matmul with nibble-packed int4 weights (halved weight HBM traffic).
 
@@ -145,6 +150,8 @@ def int4w_matmul_requant(x: jnp.ndarray, w_packed: jnp.ndarray,
         lo, hi = float(-q - 1), float(q)
     else:
         lo, hi = 0.0, float(2 ** out_bits - 1)
+    if relu:
+        lo = 0.0
 
     grid = (m // bm, n // bn)
     return pl.pallas_call(
@@ -169,6 +176,94 @@ def int4w_matmul_requant(x: jnp.ndarray, w_packed: jnp.ndarray,
             flops=2 * m * n * k,
             bytes_accessed=m * k + khalf * n + m * n, transcendentals=0),
     )(x, w_packed, bias.reshape(1, -1), mult.reshape(1, -1))
+
+
+def _int8_acc_kernel(x_ref, w_ref, bias_ref, out_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = acc + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('block_m', 'block_n'))
+def int8_matmul_acc(x: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray, *,
+                    block_m: int = 256, block_n: int = 256) -> jnp.ndarray:
+    """int8 matmul returning the raw int32 accumulator + bias (for consumers
+    that need the accumulator, e.g. residual requant-add nodes)."""
+    m, k = x.shape
+    _, n = w.shape
+    bm, bn = min(block_m, m), min(block_n, n)
+    grid = (m // bm, n // bn)
+    return pl.pallas_call(
+        _int8_acc_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k, bytes_accessed=m * k + k * n + 4 * m * n,
+            transcendentals=0),
+    )(x, w, bias.reshape(1, -1))
+
+
+def _int4w_acc_kernel(x_ref, wp_ref, bias_ref, out_ref):
+    packed = wp_ref[:].astype(jnp.int32)
+    w_lo = jnp.right_shift(jnp.left_shift(packed, 28), 28).astype(jnp.int8)
+    w_hi = jnp.right_shift(packed, 4).astype(jnp.int8)
+    khalf = packed.shape[0]
+    acc = jax.lax.dot_general(
+        x_ref[:, :khalf], w_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    acc += jax.lax.dot_general(
+        x_ref[:, khalf:], w_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out_ref[:] = acc + bias_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=('block_m', 'block_n'))
+def int4w_matmul_acc(x: jnp.ndarray, w_packed: jnp.ndarray,
+                     bias: jnp.ndarray, *, block_m: int = 256,
+                     block_n: int = 256) -> jnp.ndarray:
+    """Packed-int4-weight matmul returning the raw int32 accumulator + bias.
+
+    Used where the consumer needs the accumulator (residual requant-add
+    nodes) rather than a requantized int8 tensor.
+    """
+    m, k = x.shape
+    khalf, n = w_packed.shape
+    assert k == 2 * khalf, (k, khalf)
+    bm, bn = min(block_m, m), min(block_n, n)
+    grid = (m // bm, n // bn)
+    return pl.pallas_call(
+        _int4w_acc_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((khalf, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + khalf * n + 4 * m * n, transcendentals=0),
+    )(x, w_packed, bias.reshape(1, -1))
 
 
 def pack_int4(w: np.ndarray) -> np.ndarray:

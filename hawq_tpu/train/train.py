@@ -131,7 +131,8 @@ def make_eval_step(model, *, folded: bool = True) -> Callable:
         logits = model.apply(variables, batch['image'], folded=folded,
                              update_stats=False)
         top1 = (jnp.argmax(logits, -1) == batch['label']).astype(jnp.float32)
-        top5 = (jax.lax.top_k(logits, 5)[1] == batch['label'][:, None]
+        k = min(5, logits.shape[-1])
+        top5 = (jax.lax.top_k(logits, k)[1] == batch['label'][:, None]
                 ).any(axis=-1).astype(jnp.float32)
         return {'top1': top1.mean(), 'top5': top5.mean(),
                 'loss': cross_entropy(logits, batch['label'])}

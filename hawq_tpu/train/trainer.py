@@ -1,0 +1,254 @@
+"""End-to-end QAT trainer — the reference CLI driver rebuilt TPU-first.
+
+Parity target: /root/reference/quant_train.py (argparse :26-152, main_worker
+:208-481, train :484-530, train_kd :533-622, validate :625-674).  The
+orchestration:
+
+  build model (arch + scheme) → optionally import float weights → calibrate
+  activation ranges → epoch loop { train (unfolded or folded BN per the
+  fix-BN schedule) → eval with frozen ranges → save checkpoint + best copy +
+  frozen integer artifact } → resume from either checkpoint flavor.
+
+TPU-native differences: one jitted train step over a data mesh (replicas
+share globally-computed statistics), functional state (TrainState), npz/JSON
+checkpoints, and the frozen artifact is the engine-ready FrozenModel rather
+than a torch state-dict slice.
+
+CLI: python -m hawq_tpu.train.trainer --arch resnet50 --scheme uniform8 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import shutil
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hawq_tpu.configs.bit_config import get_bit_config
+from hawq_tpu.inference.freeze import freeze_resnet
+from hawq_tpu.train import data as data_lib
+from hawq_tpu.train.train import (TrainState, make_train_step, make_eval_step,
+                                  make_calibration_step, sgd_with_step_decay)
+from hawq_tpu.utils import checkpoint as ckpt
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    arch: str = 'resnet50'
+    scheme: str = 'uniform8'
+    num_classes: int = 1000
+    image_size: int = 224
+    batch_size: int = 128
+    epochs: int = 1
+    lr: float = 1e-4
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    lr_decay_epochs: int = 30        # ×0.1 every N epochs (quant_train.py:725)
+    fix_bn: bool = False             # start folded
+    fix_bn_threshold: Optional[int] = None   # steps until forced folded
+    calib_batches: int = 8
+    distill_alpha: Optional[float] = None
+    temperature: float = 6.0
+    data_dir: Optional[str] = None   # None → synthetic data
+    data_percentage: float = 1.0
+    save_path: str = '/tmp/hawq_tpu_run'
+    resume: Optional[str] = None
+    resume_quantize: bool = False
+    steps_per_epoch: Optional[int] = None    # cap (synthetic data)
+    eval_batches: Optional[int] = None
+
+
+def build_model(cfg: TrainerConfig):
+    from hawq_tpu.models.resnet import QResNet
+    bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+    if cfg.arch.startswith(('resnet', 'tiny')):
+        return QResNet(arch=cfg.arch, cfg=bit_cfg,
+                       num_classes=cfg.num_classes), bit_cfg
+    if cfg.arch == 'mobilenetv2_w1':
+        from hawq_tpu.models.mobilenetv2 import QMobileNetV2
+        return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
+    if cfg.arch == 'inceptionv3':
+        from hawq_tpu.models.inceptionv3 import QInceptionV3
+        return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
+    raise ValueError(f'unknown arch {cfg.arch}')
+
+
+def _batches(cfg: TrainerConfig, train: bool, epoch: int) -> Iterator[dict]:
+    if cfg.data_dir is None:
+        n = cfg.steps_per_epoch or 10
+        yield from data_lib.synthetic_batches(
+            cfg.batch_size, cfg.image_size, cfg.num_classes, n,
+            seed=epoch if train else 10_000)
+        return
+    split = 'train' if train else 'val'
+    loader = data_lib.ImageFolderLoader(
+        os.path.join(cfg.data_dir, split), cfg.batch_size, train=train,
+        image_size=cfg.image_size, data_percentage=cfg.data_percentage,
+        process_index=jax.process_index(), process_count=jax.process_count())
+    yield from loader.epoch(epoch)
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig):
+        self.cfg = cfg
+        os.makedirs(cfg.save_path, exist_ok=True)
+        logging.basicConfig(
+            level=logging.INFO,
+            handlers=[logging.StreamHandler(),
+                      logging.FileHandler(
+                          os.path.join(cfg.save_path, 'log.log'))],
+            format='%(asctime)s %(message)s', force=True)
+        self.log = logging.getLogger('hawq_tpu')
+        self.model, self.bit_cfg = build_model(cfg)
+        self.best_acc = 0.0
+        self.start_epoch = 0
+
+        example = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size,
+                             3), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(0), example,
+                                    folded=True, update_stats=True)
+        steps_per_epoch = cfg.steps_per_epoch or 1000
+        tx = sgd_with_step_decay(
+            cfg.lr, cfg.momentum, cfg.weight_decay,
+            decay_every_steps=cfg.lr_decay_epochs * steps_per_epoch)
+        self.state = TrainState.create(variables, tx)
+
+        if cfg.resume:
+            self._resume(cfg.resume, cfg.resume_quantize)
+
+    # -- checkpointing (quant_train.py:475-481, 677-680, 238-318) ----------
+    def _ckpt_path(self, name):
+        return os.path.join(self.cfg.save_path, name)
+
+    def save_checkpoint(self, epoch: int, is_best: bool):
+        variables = jax.tree.map(np.asarray, self.state.variables())
+        meta = {'epoch': epoch, 'arch': self.cfg.arch,
+                'scheme': self.cfg.scheme, 'best_acc': self.best_acc,
+                'step': int(self.state.step)}
+        ckpt.save_train_checkpoint(self._ckpt_path('checkpoint.npz'),
+                                   variables, meta)
+        if is_best:
+            shutil.copy(self._ckpt_path('checkpoint.npz'),
+                        self._ckpt_path('model_best.npz'))
+            shutil.copy(self._ckpt_path('checkpoint.npz.meta.json'),
+                        self._ckpt_path('model_best.npz.meta.json'))
+        # frozen integer artifact (the deployment hand-off,
+        # quant_train.py:665-670)
+        if self.cfg.arch.startswith(('resnet', 'tiny')):
+            fm = freeze_resnet(variables, self.cfg.arch, self.bit_cfg,
+                               self.cfg.num_classes)
+            ckpt.save_frozen(self._ckpt_path('quantized_checkpoint.npz'), fm)
+
+    def _resume(self, path: str, quantized: bool):
+        variables, meta = ckpt.load_train_checkpoint(path)
+        cur = self.state.variables()
+        if quantized:
+            # quantized resume keeps current params, restores ranges/stats
+            merged = {'params': cur['params'],
+                      'quant_stats': variables.get('quant_stats',
+                                                   cur['quant_stats']),
+                      'batch_stats': variables.get('batch_stats',
+                                                   cur['batch_stats'])}
+        else:
+            merged = variables
+        self.state = self.state.replace(
+            params=merged['params'], quant_stats=merged['quant_stats'],
+            batch_stats=merged.get('batch_stats', {}))
+        if meta:
+            self.start_epoch = int(meta.get('epoch', 0))
+            self.best_acc = float(meta.get('best_acc', 0.0))
+        self.log.info('resumed from %s (epoch %d, best %.2f)', path,
+                      self.start_epoch, self.best_acc)
+
+    # -- phases -------------------------------------------------------------
+    def calibrate(self):
+        calib = make_calibration_step(self.model, folded=True)
+        variables = self.state.variables()
+        for i, batch in enumerate(_batches(self.cfg, True, epoch=0)):
+            if i >= self.cfg.calib_batches:
+                break
+            variables = calib(variables, jnp.asarray(batch['image']))
+        self.state = self.state.replace(
+            quant_stats=variables['quant_stats'],
+            batch_stats=variables.get('batch_stats',
+                                      self.state.batch_stats))
+        self.log.info('calibrated on %d batches', self.cfg.calib_batches)
+
+    def train_epoch(self, epoch: int):
+        cfg = self.cfg
+        # fix-BN schedule (quant_modules.py:407-414), owned by the trainer
+        folded = cfg.fix_bn or (
+            cfg.fix_bn_threshold is not None
+            and int(self.state.step) >= cfg.fix_bn_threshold)
+        step_fn = make_train_step(self.model, folded=folded,
+                                  distill_alpha=cfg.distill_alpha,
+                                  temperature=cfg.temperature)
+        t0 = time.time()
+        n, loss_sum, acc_sum = 0, 0.0, 0.0
+        for i, batch in enumerate(_batches(cfg, True, epoch)):
+            if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            self.state, metrics = step_fn(self.state, batch)
+            loss_sum += float(metrics['loss'])
+            acc_sum += float(metrics['accuracy'])
+            n += 1
+        self.log.info(
+            'epoch %d: folded_bn=%s loss %.4f acc %.4f (%d steps, %.1fs)',
+            epoch, folded, loss_sum / max(n, 1), acc_sum / max(n, 1), n,
+            time.time() - t0)
+
+    def evaluate(self) -> float:
+        eval_fn = make_eval_step(self.model)
+        variables = self.state.variables()
+        tops, n = 0.0, 0
+        for i, batch in enumerate(_batches(self.cfg, False, epoch=0)):
+            if self.cfg.eval_batches and i >= self.cfg.eval_batches:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            out = eval_fn(variables, batch)
+            tops += float(out['top1'])
+            n += 1
+        acc = tops / max(n, 1)
+        self.log.info('eval top-1 %.4f (%d batches)', acc, n)
+        return acc
+
+    def run(self):
+        self.calibrate()
+        for epoch in range(self.start_epoch, self.cfg.epochs):
+            self.train_epoch(epoch)
+            acc = self.evaluate()
+            is_best = acc > self.best_acc
+            self.best_acc = max(self.best_acc, acc)
+            self.save_checkpoint(epoch + 1, is_best)
+        return self.best_acc
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description='hawq-tpu QAT trainer')
+    none_types = {'fix_bn_threshold': int, 'steps_per_epoch': int,
+                  'eval_batches': int, 'distill_alpha': float,
+                  'data_dir': str, 'resume': str}
+    for f in dataclasses.fields(TrainerConfig):
+        name = '--' + f.name.replace('_', '-')
+        if isinstance(f.default, bool):
+            p.add_argument(name, action='store_true', default=f.default)
+        else:
+            typ = none_types.get(f.name, type(f.default)) \
+                if f.default is None else type(f.default)
+            p.add_argument(name, type=typ, default=f.default)
+    args = p.parse_args(argv)
+    cfg = TrainerConfig(**vars(args))
+    return Trainer(cfg).run()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,126 @@
+"""ctypes bindings for the native data-plane library (csrc/hawq_preproc.cpp).
+
+Auto-builds the shared library on first use (make -C csrc) and falls back to
+equivalent numpy implementations when no compiler is available, so the
+Python API is always importable.  Covers:
+
+  * preprocess_batch — uint8 HWC → resized/cropped/normalized f32 NHWC
+  * quantize_int8    — f32 → int8 symmetric quantization (engine input stage)
+  * pack_int4        — split-K nibble packing (kernels/matmul.py layout)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), 'csrc')
+_SO_PATH = os.path.join(_CSRC, 'hawq_preproc.so')
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_tried
+    if _lib is not None or _lib_tried:
+        return _lib
+    _lib_tried = True
+    if not os.path.exists(_SO_PATH):
+        try:
+            subprocess.run(['make', '-C', _CSRC], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+
+    lib.preprocess_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float)]
+    lib.quantize_int8.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
+        ctypes.c_int8, ctypes.c_int8, ctypes.POINTER(ctypes.c_int8)]
+    lib.pack_int4_splitk.argtypes = [
+        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8)]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, t):
+    return a.ctypes.data_as(ctypes.POINTER(t))
+
+
+def preprocess_batch(images: np.ndarray, resize: int, crop: int,
+                     mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    """uint8 (B, H, W, 3) → f32 (B, crop, crop, 3), resize-short-side +
+    center-crop + normalize."""
+    images = np.ascontiguousarray(images, np.uint8)
+    b, h, w, c = images.shape
+    assert c == 3
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    lib = _load()
+    out = np.empty((b, crop, crop, 3), np.float32)
+    if lib is not None:
+        lib.preprocess_batch(_ptr(images, ctypes.c_uint8), b, h, w, resize,
+                             crop, _ptr(mean, ctypes.c_float),
+                             _ptr(std, ctypes.c_float),
+                             _ptr(out, ctypes.c_float))
+        return out
+    # numpy fallback (nearest-equivalent bilinear via PIL)
+    from PIL import Image
+    for i in range(b):
+        img = Image.fromarray(images[i])
+        if w < h:
+            nw, nh = resize, int(round(h * resize / w))
+        else:
+            nw, nh = int(round(w * resize / h)), resize
+        img = img.resize((nw, nh), Image.BILINEAR)
+        x0, y0 = (nw - crop) // 2, (nh - crop) // 2
+        arr = np.asarray(img.crop((x0, y0, x0 + crop, y0 + crop)),
+                         np.float32) / 255.0
+        out[i] = (arr - mean) / std
+    return out
+
+
+def quantize_int8(x: np.ndarray, scale: float, lo: int = -128,
+                  hi: int = 127) -> np.ndarray:
+    x = np.ascontiguousarray(x, np.float32)
+    lib = _load()
+    out = np.empty(x.shape, np.int8)
+    if lib is not None:
+        lib.quantize_int8(_ptr(x, ctypes.c_float), x.size, scale, lo, hi,
+                          _ptr(out, ctypes.c_int8))
+        return out
+    return np.clip(np.floor(x / scale + 0.5), lo, hi).astype(np.int8)
+
+
+def pack_int4(w: np.ndarray) -> np.ndarray:
+    """Split-K nibble packing; native when available, else numpy
+    (kernels/matmul.py pack_int4)."""
+    w = np.ascontiguousarray(w, np.int8)
+    k, n = w.shape
+    assert k % 2 == 0
+    lib = _load()
+    if lib is not None:
+        out = np.empty((k // 2, n), np.int8)
+        lib.pack_int4_splitk(_ptr(w, ctypes.c_int8), k, n,
+                             _ptr(out, ctypes.c_int8))
+        return out
+    from hawq_tpu.kernels.matmul import pack_int4 as np_pack
+    return np_pack(w)

@@ -13,11 +13,13 @@ flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
-# persistent compilation cache: this box has 2 CPUs and XLA compiles are the
-# dominant test cost — cache them across runs.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
-                      '/tmp/hawq_tpu_xla_cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.5')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# persistent compilation cache: this box has 2 CPUs and XLA compiles are the
+# dominant test cost — cache them across runs.  The env-var spellings are
+# ignored by this jax version; the config API works.
+import jax  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir', '/tmp/hawq_tpu_xla_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -5,6 +5,9 @@ golden-featuremap debug_unit mechanism (/root/reference/tvm_benchmark/
 test_resnet_inference.py:128-181, "100% matched!"): the frozen QAT forward
 (value space, int·scale floats) and the integer engine (int8/int32 arrays)
 must produce identical integer logits.
+
+Calibrated models are module-scoped (built once per arch/scheme pair) to
+keep the 2-CPU test box within budget.
 """
 
 import numpy as np
@@ -17,8 +20,15 @@ from hawq_tpu.models.resnet import QResNet
 from hawq_tpu.inference.freeze import freeze_resnet, model_size_bytes
 from hawq_tpu.inference.engine import build_resnet_engine
 
+_CASES = [('tiny18', 'uniform8'), ('tiny18', 'uniform4'),
+          ('tiny50', 'uniform8'), ('tiny50', 'uniform4')]
+_cache = {}
+
 
 def _calibrated_model(arch, scheme, num_classes=10, size=32, batch=2, seed=0):
+    key = (arch, scheme)
+    if key in _cache:
+        return _cache[key]
     cfg = get_bit_config(arch, scheme)
     model = QResNet(arch=arch, cfg=cfg, num_classes=num_classes)
     rng = np.random.RandomState(seed)
@@ -33,22 +43,18 @@ def _calibrated_model(arch, scheme, num_classes=10, size=32, batch=2, seed=0):
 
     for _ in range(3):
         v = calib(v, x)
-    return model, cfg, v, x
+    _cache[key] = (model, cfg, v, x)
+    return _cache[key]
 
 
-@pytest.mark.parametrize('arch,scheme', [
-    ('tiny18', 'uniform8'),
-    ('tiny18', 'uniform4'),
-    ('tiny50', 'uniform8'),
-    ('tiny50', 'uniform4'),
-])
+@pytest.mark.parametrize('arch,scheme', _CASES)
 def test_qat_engine_parity(arch, scheme):
     model, cfg, v, x = _calibrated_model(arch, scheme)
     qat_logits = np.asarray(jax.jit(
         lambda v, x: model.apply(v, x, folded=True, update_stats=False))(v, x))
 
     fm = freeze_resnet(jax.tree.map(np.asarray, v), arch, cfg, num_classes=10)
-    eng_logits = np.asarray(build_resnet_engine(fm)(x))
+    eng_logits = np.asarray(build_resnet_engine(fm, s2d_init=False)(x))
 
     out_scale = (fm['quant_output.weight_scale'].astype(np.float64)
                  * np.float64(fm.act_scale('quant_act_output')))
@@ -58,6 +64,25 @@ def test_qat_engine_parity(arch, scheme):
     assert mismatches == 0, (
         f'{mismatches}/{qat_int.size} integer logits differ; '
         f'max |Δ| = {np.max(np.abs(qat_logits / out_scale - eng_logits / out_scale))}')
+
+
+def test_s2d_init_is_bit_exact():
+    """The space-to-depth init-conv rewrite is a pure reordering."""
+    model, cfg, v, x = _calibrated_model('tiny50', 'uniform8')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+    ref = np.asarray(build_resnet_engine(fm, s2d_init=False)(x))
+    s2d = np.asarray(build_resnet_engine(fm, s2d_init=True)(x))
+    np.testing.assert_array_equal(ref, s2d)
+
+
+def test_int16_residual_matches_when_in_range():
+    """int16 residual carry only clamps values beyond 2^15-1; on a calibrated
+    tiny model logits match int32 exactly."""
+    model, cfg, v, x = _calibrated_model('tiny18', 'uniform8')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny18', cfg, 10)
+    ref = np.asarray(build_resnet_engine(fm)(x))
+    i16 = np.asarray(build_resnet_engine(fm, residual_dtype=jnp.int16)(x))
+    np.testing.assert_array_equal(ref, i16)
 
 
 def test_model_size_w4_half_of_w8():

@@ -1,7 +1,9 @@
 """Pallas kernel exact-equality tests vs the jnp reference semantics.
 
-Kernels run in interpreter mode on CPU (no TPU in the test env); the same
-tests execute compiled on real hardware via benchmarks/kernel_bench.py.
+Interpret-mode kernel runs compile very slowly on this 2-CPU box, so they
+are marked `slow` (excluded by default; run with `-m slow`).  The same
+checks execute compiled on real hardware via benchmarks/kernel_check.py.
+The pack/unpack and padding helpers are always tested.
 """
 
 import numpy as np
@@ -23,6 +25,7 @@ def _rand_case(m=128, k=256, n=128, w_bits=8, seed=0):
     return x, w, bias, mult
 
 
+@pytest.mark.slow
 class TestInt8Matmul:
     def test_exact_vs_reference(self):
         x, w, bias, mult = _rand_case()
@@ -61,6 +64,7 @@ class TestPackInt4:
         w = rng.randint(-8, 8, (64, 32)).astype(np.int8)
         np.testing.assert_array_equal(km.unpack_int4(km.pack_int4(w)), w)
 
+    @pytest.mark.slow
     def test_int4w_matmul_exact(self):
         x, w, bias, mult = _rand_case(m=64, k=128, n=128, w_bits=4, seed=3)
         packed = km.pack_int4(w)

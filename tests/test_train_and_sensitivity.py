@@ -1,0 +1,180 @@
+"""Train-step, Hessian-trace, ILP-allocator, and data-pipeline tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hawq_tpu.configs.bit_config import get_bit_config
+from hawq_tpu.models.resnet import QResNet
+from hawq_tpu.train.train import (TrainState, make_train_step, make_eval_step,
+                                  sgd_with_step_decay, kd_loss, cross_entropy)
+from hawq_tpu.train.data import synthetic_batches
+from hawq_tpu.sensitivity.hessian import (hutchinson_layer_traces,
+                                          quantization_perturbation,
+                                          conv_layer_traces)
+from hawq_tpu.sensitivity.ilp import (LayerCost, allocate_bits,
+                                      allocation_to_bit_config)
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self):
+        cfg = get_bit_config('tiny18', 'uniform8')
+        model = QResNet(arch='tiny18', cfg=cfg, num_classes=4)
+        batch = next(synthetic_batches(8, image_size=32, num_classes=4))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(jax.random.PRNGKey(0), batch['image'],
+                               folded=True, update_stats=True)
+        tx = sgd_with_step_decay(0.05, momentum=0.9, weight_decay=0.0)
+        state = TrainState.create(variables, tx)
+        step = make_train_step(model, folded=True)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics['loss']))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 8
+
+    def test_eval_step_metrics(self):
+        cfg = get_bit_config('tiny18', 'uniform8')
+        model = QResNet(arch='tiny18', cfg=cfg, num_classes=4)
+        batch = next(synthetic_batches(8, image_size=32, num_classes=4))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        variables = model.init(jax.random.PRNGKey(0), batch['image'],
+                               folded=True, update_stats=True)
+        out = make_eval_step(model)(variables, batch)
+        assert 0.0 <= float(out['top1']) <= 1.0
+        assert float(out['top5']) >= float(out['top1'])
+
+    def test_kd_loss_matches_manual(self):
+        rng = np.random.RandomState(0)
+        s = jnp.asarray(rng.randn(4, 10).astype(np.float32))
+        t = jnp.asarray(rng.randn(4, 10).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 10, (4,)))
+        loss = kd_loss(s, t, y, alpha=0.9, temperature=4.0)
+        ce = cross_entropy(s, y)
+        assert float(loss) > 0
+        # alpha=0 reduces to pure CE
+        np.testing.assert_allclose(float(kd_loss(s, t, y, alpha=0.0)),
+                                   float(ce), rtol=1e-6)
+
+
+class TestHessian:
+    def test_quadratic_traces_exact(self):
+        # loss = 0.5 aᵀ diag(d_a) a + 0.5 bᵀ diag(d_b) b: per-layer trace
+        # is Σ d exactly; Hutchinson with Rademacher probes is exact here
+        # (vᵀdiag(d)v = Σd for v ∈ {-1,1}ⁿ).
+        d_a = jnp.arange(1.0, 5.0)
+        d_b = jnp.arange(1.0, 3.0)
+        params = {'a': {'kernel': jnp.zeros(4) + 1.0},
+                  'b': {'kernel': jnp.zeros(2) + 1.0}}
+
+        def loss(p):
+            return 0.5 * jnp.sum(d_a * p['a']['kernel'] ** 2) + \
+                0.5 * jnp.sum(d_b * p['b']['kernel'] ** 2)
+
+        traces = hutchinson_layer_traces(loss, params, n_probes=2,
+                                         normalize=False)
+        np.testing.assert_allclose(traces['a/kernel'], float(jnp.sum(d_a)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(traces['b/kernel'], float(jnp.sum(d_b)),
+                                   rtol=1e-5)
+        convs = conv_layer_traces(traces)
+        assert set(convs) == {'a', 'b'}
+
+    def test_perturbation_monotone_in_bits(self):
+        rng = np.random.RandomState(0)
+        w = rng.randn(3, 3, 8, 16).astype(np.float32)
+        d4 = quantization_perturbation(w, 4)
+        d8 = quantization_perturbation(w, 8)
+        assert d8 < d4
+        assert d4 > 0
+
+
+class TestILP:
+    def _layers(self):
+        # 4 layers: one very sensitive, one huge, two ordinary
+        return [
+            LayerCost('l1', trace=10.0, delta_w4=4.0, delta_w8=0.1,
+                      params=1000, macs=1e6),
+            LayerCost('l2', trace=0.01, delta_w4=4.0, delta_w8=0.1,
+                      params=100000, macs=1e8),
+            LayerCost('l3', trace=1.0, delta_w4=2.0, delta_w8=0.05,
+                      params=5000, macs=5e6),
+            LayerCost('l4', trace=1.0, delta_w4=2.0, delta_w8=0.05,
+                      params=5000, macs=5e6, tie_to='l3'),
+        ]
+
+    def test_sensitive_layer_gets_8bit(self):
+        res = allocate_bits(self._layers(), 'model_size', 0.5)
+        assert res.bits['l1'] == 8          # most sensitive → 8-bit
+        assert res.bits['l2'] == 4          # huge + insensitive → 4-bit
+        assert res.resource_used <= res.resource_limit + 1e-6
+
+    def test_tie_constraint(self):
+        res = allocate_bits(self._layers(), 'bops', 0.5)
+        assert res.bits['l3'] == res.bits['l4']
+
+    def test_extremes(self):
+        res_all8 = allocate_bits(self._layers(), 'model_size', 1.0)
+        assert all(b == 8 for b in res_all8.bits.values())
+        res_all4 = allocate_bits(self._layers(), 'model_size', 0.0)
+        assert all(b == 4 for b in res_all4.bits.values())
+
+    def test_expand_to_bit_config(self):
+        res = allocate_bits([
+            LayerCost('stage1.unit1.quant_convbn1', 1.0, 2.0, 0.1, 100, 1e6),
+            LayerCost('stage1.unit1.quant_convbn2', 0.001, 2.0, 0.1,
+                      100000, 1e8),
+        ], 'model_size', 0.5)
+        cfg = allocation_to_bit_config('tiny18', res, 'test_0.5')
+        assert cfg.table['stage1.unit1.quant_convbn1'] == \
+            res.bits['stage1.unit1.quant_convbn1']
+        assert cfg.table['quant_input'] == 8
+        assert cfg.table['stage1.unit1.quant_act_int32'] == 16
+
+
+class TestNativePreproc:
+    def test_quantize_and_pack(self):
+        from hawq_tpu.utils import preproc
+        rng = np.random.RandomState(0)
+        x = rng.randn(512).astype(np.float32)
+        got = preproc.quantize_int8(x, 0.02)
+        ref = np.clip(np.floor(x / 0.02 + 0.5), -128, 127).astype(np.int8)
+        np.testing.assert_array_equal(got, ref)
+        from hawq_tpu.kernels.matmul import pack_int4
+        w = rng.randint(-8, 8, (32, 16)).astype(np.int8)
+        np.testing.assert_array_equal(preproc.pack_int4(w), pack_int4(w))
+
+
+class TestData:
+    def test_synthetic_shapes(self):
+        b = next(synthetic_batches(4, image_size=32, num_classes=7))
+        assert b['image'].shape == (4, 32, 32, 3)
+        assert b['label'].shape == (4,)
+        assert b['label'].max() < 7
+
+    def test_image_folder(self, tmp_path):
+        from PIL import Image
+        from hawq_tpu.train.data import ImageFolderLoader
+        rng = np.random.RandomState(0)
+        for cls in ['cat', 'dog']:
+            d = tmp_path / cls
+            d.mkdir()
+            for i in range(5):
+                Image.fromarray(rng.randint(0, 255, (40, 50, 3), dtype=np.uint8)
+                                ).save(d / f'{i}.jpg')
+        loader = ImageFolderLoader(str(tmp_path), batch_size=4, train=True,
+                                   image_size=32, num_workers=2)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 2            # 10 images, drop remainder
+        assert batches[0]['image'].shape == (4, 32, 32, 3)
+        ev = ImageFolderLoader(str(tmp_path), batch_size=4, train=False,
+                               image_size=32, eval_resize=36, num_workers=2)
+        eb = next(ev.epoch())
+        assert eb['image'].shape == (4, 32, 32, 3)
+        # per-host sharding splits the data
+        h0 = ImageFolderLoader(str(tmp_path), batch_size=2, train=False,
+                               image_size=32, eval_resize=36,
+                               process_index=0, process_count=2)
+        assert len(list(h0.epoch())) == 2   # 5 images → 2 full batches
