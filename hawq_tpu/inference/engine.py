@@ -48,28 +48,32 @@ def _clip_bounds(bits: int, signed: bool) -> Tuple[float, float]:
 
 
 class _Plan:
-    """Precomputed constants for the jitted program."""
+    """Precomputed constants for the jitted program.
+
+    All values are **numpy** arrays: XLA embeds them as constants at each
+    trace.  (Creating jnp arrays lazily inside a traced function leaks
+    tracers into later traces — found by the serving tests.)"""
 
     def __init__(self, fm: FrozenModel):
         self.fm = fm
-        self.w: Dict[str, jnp.ndarray] = {}
-        self.b: Dict[str, jnp.ndarray] = {}
-        self.mult: Dict[str, jnp.ndarray] = {}
+        self.w: Dict[str, np.ndarray] = {}
+        self.b: Dict[str, np.ndarray] = {}
+        self.mult: Dict[str, np.ndarray] = {}
         self.meta: Dict[str, Tuple] = {}
 
     def conv(self, key: str):
         if key not in self.w:
-            self.w[key] = jnp.asarray(self.fm[key + '.weight_int'])
-            self.b[key] = jnp.asarray(self.fm[key + '.bias_int'])
+            self.w[key] = np.asarray(self.fm[key + '.weight_int'])
+            self.b[key] = np.asarray(self.fm[key + '.bias_int'])
         return self.w[key], self.b[key]
 
     def requant_mult(self, name: str, acc_scale: np.ndarray,
-                     out_scale: np.float32) -> jnp.ndarray:
+                     out_scale: np.float32) -> np.ndarray:
         """acc_scale may be per-channel (weight scale × act scale)."""
         if name not in self.mult:
             ratio = (np.asarray(acc_scale, np.float32)
                      / np.float32(out_scale)).astype(np.float32)
-            self.mult[name] = jnp.asarray(_np_dyadic_multiplier(ratio))
+            self.mult[name] = _np_dyadic_multiplier(ratio)
         return self.mult[name]
 
 
@@ -98,14 +102,14 @@ def _s2d_input(x8: jnp.ndarray) -> jnp.ndarray:
     return x2.reshape(b, hp // 2, wp // 2, 4 * c)
 
 
-def _s2d_kernel(w: np.ndarray) -> jnp.ndarray:
+def _s2d_kernel(w: np.ndarray) -> np.ndarray:
     """Rewrite a (7, 7, C, O) stride-2 kernel as (4, 4, 4C, O) stride-1 over
     the space-to-depth input (kernel zero-padded to 8×8)."""
     kh, kw, c, o = w.shape
     wp = np.zeros((kh + 1, kw + 1, c, o), w.dtype)
     wp[:kh, :kw] = w
     w2 = wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
-    return jnp.asarray(w2.reshape(4, 4, 4 * c, o))
+    return w2.reshape(4, 4, 4 * c, o)
 
 
 def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
@@ -142,10 +146,9 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 w = fm[key + '.weight_int']          # (1, 1, Cin, Cout)
                 w2d = np.asarray(w).reshape(w.shape[2], w.shape[3])
                 if cfg.weight_bits(key) == 4:
-                    packed_weights[key] = (
-                        jnp.asarray(km.pack_int4(w2d)), True)
+                    packed_weights[key] = (km.pack_int4(w2d), True)
                 else:
-                    packed_weights[key] = (jnp.asarray(w2d), False)
+                    packed_weights[key] = (w2d, False)
             return packed_weights[key]
 
         def pallas_routable(key: str, kh: int, kw: int, cin: int,
@@ -161,7 +164,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             m = b * h * w_
             xm = km.pad_to(x8.reshape(m, c), 256, 1)
             wq, is4 = pallas_weights(key)
-            bias = plan.b[key] if key in plan.b else jnp.asarray(
+            bias = plan.b[key] if key in plan.b else np.asarray(
                 fm[key + '.bias_int'])
             fn = km.int4w_matmul_requant if is4 else km.int8_matmul_requant
             y = fn(xm, wq, bias, mult, out_bits=out_bits, signed=signed,
@@ -176,7 +179,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             m = b * h * w_
             xm = km.pad_to(x8.reshape(m, c), 256, 1)
             wq, is4 = pallas_weights(key)
-            bias = jnp.asarray(fm[key + '.bias_int'])
+            bias = np.asarray(fm[key + '.bias_int'])
             if is4:
                 y = km.int4w_matmul_acc(xm, wq, bias)
             else:
@@ -336,13 +339,13 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         f8 = _requant(pooled.astype(jnp.int32), mult, b_fc, sg_fc)
         emit('fc_input', f8)
 
-        w8 = jnp.asarray(fm['quant_output.weight_int'])
-        b32 = jnp.asarray(fm['quant_output.bias_int'])
+        w8 = np.asarray(fm['quant_output.weight_int'])
+        b32 = np.asarray(fm['quant_output.bias_int'])
         acc = jax.lax.dot_general(f8, w8, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.int32) + b32
         out_scale = (fm['quant_output.weight_scale'].astype(np.float32)
                      * np.float32(s_fc))
-        logits = acc.astype(jnp.float32) * jnp.asarray(out_scale)
+        logits = acc.astype(jnp.float32) * out_scale
         emit('fc_output', logits)
         return logits
 

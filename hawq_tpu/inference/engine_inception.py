@@ -1,0 +1,251 @@
+"""Freeze + integer inference engine for quantized InceptionV3.
+
+The deployment analog of the reference's quantized_inception.py Relay graph
+(/root/reference/tvm_benchmark/mixed_precision_models/quantized_inception.py
+:47-437), built directly from the same branch specifications the QAT model
+uses (hawq_tpu/models/inceptionv3.py build_unit), so graph structure lives
+in exactly one place.
+
+The multi-branch concat requant: each branch produces an integer tensor at
+its own scale; the engine requantizes every branch output to the unit's
+shared scale with its own dyadic multiplier *before* concatenation —
+numerically identical to the training graph's per-channel-slice requant of
+the concatenated tensor (QuantAct branch case, nn/layers.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hawq_tpu.configs.bit_config import BitConfig
+from hawq_tpu.inference.freeze import (FrozenModel, _freeze_convbn,
+                                       _act_scale_from_stats)
+from hawq_tpu.inference.engine import _Plan, _conv_i8, _requant, _maxpool_int
+from hawq_tpu.models.inceptionv3 import (
+    INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
+    _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch, _cdiv, _ksize, _pad)
+from hawq_tpu.quant import ops as qops
+
+
+def _units(cfg: BitConfig, width_div: int):
+    b_idx = 0
+    for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
+        for j, out_ch in enumerate(stage, start=1):
+            unit = build_unit(cfg, i, j, out_ch, b_idx, width_div=width_div)
+            if i == 2 and j != 1:
+                b_idx += 1
+            yield i, j, unit
+
+
+# ---------------------------------------------------------------------------
+# freeze
+# ---------------------------------------------------------------------------
+
+def freeze_inceptionv3(variables: Mapping, cfg: BitConfig,
+                       num_classes: int = 1000,
+                       width_div: int = 1) -> FrozenModel:
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+    qstats = variables['quant_stats']
+    st = cfg.settings
+    tensors: Dict[str, np.ndarray] = {}
+
+    def act(key: str, path) -> np.float32:
+        node = qstats
+        for part in path:
+            node = node[part]
+        s = _act_scale_from_stats(node, cfg.act_bits(key), cfg.act_mode(key))
+        tensors[key + '.act_scale'] = np.float32(s)
+        return s
+
+    def convbn(key: str, path, in_scale: np.float32):
+        p, b = params, bstats
+        for part in path:
+            p = p[part]
+            b = b[part]
+        out = _freeze_convbn(p, b, cfg.weight_bits(key), st.bias_bit,
+                             in_scale, st.per_channel)
+        for k, v in out.items():
+            tensors[f'{key}.{k}'] = v
+
+    def incept_conv(key_prefix: str, path, in_scale: np.float32):
+        """conv+bn then its requant activ; returns the activ scale."""
+        convbn(f'{key_prefix}.q_convbn', (*path, 'q_convbn'), in_scale)
+        return act(f'{key_prefix}.q_activ', (*path, 'q_activ'))
+
+    ip = 'features.q_init_block'
+    s = act(f'{ip}.q_input_activ', ('q_input_activ',))
+    for c in range(1, 6):
+        s = incept_conv(f'{ip}.q_conv{c}', (f'q_conv{c}',), s)
+
+    for i, j, unit in _units(cfg, width_div):
+        p = unit.prefix
+        mod = f'stage{i}_unit{j}'
+        in_scale = s
+        for name, ctor, kwargs in unit.branch_defs:
+            bp = f'{p}.branches.{name}'
+            path = (mod, name)
+            a = act(f'{bp}.q_input_act', (*path, 'q_input_act'))
+            if ctor is _Conv1x1Branch:
+                incept_conv(f'{bp}.q_conv', (*path, 'q_conv'), a)
+            elif ctor is _ConvSeqBranch:
+                for c in range(1, len(kwargs['out_channels']) + 1):
+                    a = incept_conv(f'{bp}.q_conv_list.q_conv{c}',
+                                    (*path, f'q_conv{c}'), a)
+            elif ctor is _MaxPoolBranch:
+                pass
+            elif ctor is _AvgPoolBranch:
+                a = act(f'{bp}.q_pool_act', (*path, 'q_pool_act'))
+                incept_conv(f'{bp}.q_conv', (*path, 'q_conv'), a)
+            elif ctor is _ConvSeq3x3Branch:
+                for c in range(1, len(kwargs['out_channels']) + 1):
+                    a = incept_conv(f'{bp}.q_conv_list.q_conv{c}',
+                                    (*path, f'q_conv{c}'), a)
+                incept_conv(f'{bp}.q_conv1x3', (*path, 'q_conv1x3'), a)
+                incept_conv(f'{bp}.q_conv3x1', (*path, 'q_conv3x1'), a)
+                act(f'{bp}.q_rescaling_activ', (*path, 'q_rescaling_activ'))
+        s = act(f'{p}.q_rescaling_activ', (mod, 'q_rescaling_activ'))
+
+    out_sc = act('features.q_concat_activ', ('q_concat_activ',))
+    kernel = np.asarray(params['q_fc']['kernel'], np.float64)
+    bias = np.asarray(params['q_fc']['bias'], np.float64)
+    lo, hi = (kernel.min(axis=0), kernel.max(axis=0)) if st.per_channel \
+        else (kernel.min(), kernel.max())
+    n = 2 ** (cfg.weight_bits('output.q_fc') - 1) - 1
+    w_scale = (np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-8) / n
+               ).astype(np.float32)
+    tensors['output.q_fc.weight_int'] = np.clip(
+        np.floor(kernel / w_scale + 0.5), -n - 1, n).astype(np.int8)
+    nb = 2 ** (st.bias_bit - 1) - 1
+    bias_scale = w_scale.astype(np.float64) * np.float64(out_sc)
+    tensors['output.q_fc.bias_int'] = np.clip(
+        np.floor(bias / bias_scale + 0.5), -nb - 1, nb).astype(np.int32)
+    tensors['output.q_fc.weight_scale'] = np.atleast_1d(w_scale)
+
+    return FrozenModel(arch='inceptionv3', cfg=cfg, tensors=tensors,
+                       num_classes=num_classes)
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
+    cfg = fm.cfg
+    plan = _Plan(fm)
+
+    def act_info(key):
+        return (float(fm.act_scale(key)), cfg.act_bits(key),
+                cfg.act_mode(key) == 'symmetric')
+
+    def container(bits):
+        return jnp.int8 if bits <= 8 else jnp.int32
+
+    def requant_to(x_int, from_scale, key, name):
+        s, b, sg = act_info(key)
+        mult = plan.requant_mult(name, from_scale, s)
+        return _requant(x_int, mult, b, sg, container(b)), np.float32(s)
+
+    def incept_conv(h, a_scale, key_prefix, kernel, stride, padding):
+        w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
+        acc = _conv_i8(h, w8, (stride, stride), _pad(padding)) + b32
+        acc = jnp.maximum(acc, 0)           # relu before requant (monotone)
+        acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
+                     .astype(np.float32) * np.float32(a_scale))
+        return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
+                          f'{key_prefix}.rq')
+
+    def int_avgpool_3x3(x_int):
+        summed = jax.lax.reduce_window(
+            x_int.astype(jnp.int32), jnp.int32(0), jax.lax.add,
+            (1, 3, 3, 1), (1, 1, 1, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return jnp.trunc(summed.astype(jnp.float32) / 9.0 + 0.01
+                         ).astype(jnp.int32)
+
+    def forward(images: jnp.ndarray) -> jnp.ndarray:
+        ip = 'features.q_init_block'
+        s_in, b_in, _ = act_info(f'{ip}.q_input_activ')
+        n = 2 ** (b_in - 1) - 1
+        x = jnp.clip(qops.round_half_up(images / s_in), -n - 1, n
+                     ).astype(jnp.int8)
+        s = np.float32(s_in)
+        strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
+        pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+        w = fm[f'{ip}.q_conv1.q_convbn.weight_int']
+        for c in range(1, 6):
+            key = f'{ip}.q_conv{c}'
+            kh = fm[f'{key}.q_convbn.weight_int'].shape[0]
+            x, s = incept_conv(x, s, key, kh, strides[c], pads[c])
+            if c in (3, 5):
+                x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
+
+        for i, j, unit in _units(cfg, width_div):
+            p = unit.prefix
+            outs, scales = [], []
+            for name, ctor, kwargs in unit.branch_defs:
+                bp = f'{p}.branches.{name}'
+                h, a = requant_to(x, s, f'{bp}.q_input_act', f'{bp}.in')
+                if ctor is _Conv1x1Branch:
+                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 1, 0)
+                elif ctor is _ConvSeqBranch:
+                    for c, (k, st_, pd) in enumerate(
+                            zip(kwargs['kernels'], kwargs['strides'],
+                                kwargs['paddings']), start=1):
+                        h, a = incept_conv(h, a,
+                                           f'{bp}.q_conv_list.q_conv{c}',
+                                           k, st_, pd)
+                elif ctor is _MaxPoolBranch:
+                    h = _maxpool_int(h, (3, 3), (2, 2), ((0, 0), (0, 0)))
+                elif ctor is _AvgPoolBranch:
+                    h = int_avgpool_3x3(h)
+                    h, a = requant_to(h, a, f'{bp}.q_pool_act', f'{bp}.pool')
+                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 1, 0)
+                elif ctor is _ConvSeq3x3Branch:
+                    for c, (k, st_, pd) in enumerate(
+                            zip(kwargs['kernels'], kwargs['strides'],
+                                kwargs['paddings']), start=1):
+                        h, a = incept_conv(h, a,
+                                           f'{bp}.q_conv_list.q_conv{c}',
+                                           k, st_, pd)
+                    y1, a1 = incept_conv(h, a, f'{bp}.q_conv1x3', (1, 3),
+                                         1, (0, 1))
+                    y2, a2 = incept_conv(h, a, f'{bp}.q_conv3x1', (3, 1),
+                                         1, (1, 0))
+                    r1, ssub = requant_to(y1, a1,
+                                          f'{bp}.q_rescaling_activ',
+                                          f'{bp}.rs1')
+                    r2, _ = requant_to(y2, a2, f'{bp}.q_rescaling_activ',
+                                       f'{bp}.rs2')
+                    h = jnp.concatenate([r1.astype(r2.dtype), r2], axis=-1)
+                    a = ssub
+                outs.append(h)
+                scales.append(a)
+
+            # concat requant: each branch to the unit's shared scale
+            pieces, s_unit = [], None
+            for bi, (h, a) in enumerate(zip(outs, scales)):
+                r, s_unit = requant_to(h, a, f'{p}.q_rescaling_activ',
+                                       f'{p}.cat{bi}')
+                pieces.append(r.astype(jnp.int32))
+            x = jnp.concatenate(pieces, axis=-1)
+            s = s_unit
+
+        # head: integer global avg pool → requant → dense
+        hw = x.shape[1] * x.shape[2]
+        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
+        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01
+                           ).astype(jnp.int32)
+        f8, s_fc = requant_to(pooled, s, 'features.q_concat_activ', 'fc_in')
+        w8 = np.asarray(fm['output.q_fc.weight_int'])
+        b32 = np.asarray(fm['output.q_fc.bias_int'])
+        acc = jax.lax.dot_general(f8, w8, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32) + b32
+        out_scale = (fm['output.q_fc.weight_scale'].astype(np.float32)
+                     * s_fc)
+        return acc.astype(jnp.float32) * out_scale
+
+    return jax.jit(forward)

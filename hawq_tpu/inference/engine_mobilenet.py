@@ -1,0 +1,149 @@
+"""Integer inference engine for quantized MobileNetV2.
+
+Same design as the ResNet engine (inference/engine.py): the FrozenModel from
+freeze_mobilenetv2 closes over one jitted XLA program of int8 depthwise /
+pointwise MXU convolutions with dyadic requant epilogues.  The reference
+only ships MobileNetV2 as a *float* TVM graph (tvm_benchmark/
+mixed_precision_models/mobilenet_v2.py); this engine completes the integer
+deployment path the reference lacks.
+
+ReLU6 in the integer domain: relu6 acts on value = acc · acc_scale, so the
+accumulator clamp is [0, round_half_up(6 / acc_scale)] per channel — exact
+against the QAT graph's float relu6-then-requant (see
+hawq_tpu/models/mobilenetv2.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hawq_tpu.inference.freeze import FrozenModel
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _requant,
+                                       _np_dyadic_multiplier)
+from hawq_tpu.quant import ops as qops
+
+
+def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
+    """Integer-domain ReLU6: clamp acc to [0, round(6/acc_scale)]."""
+    hi = np.floor(6.0 / np.asarray(acc_scale, np.float64) + 0.5)
+    hi = np.minimum(hi, np.float64(2 ** 31 - 1)).astype(np.int32)
+    return jnp.clip(acc, 0, hi)
+
+
+def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
+                             residual_dtype=jnp.int32):
+    """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits."""
+    cfg = fm.cfg
+    plan = _Plan(fm)
+    s_in = fm.act_scale('quant_input')
+
+    def act_info(key):
+        return (float(fm.act_scale(key)), cfg.act_bits(key),
+                cfg.act_mode(key) == 'symmetric')
+
+    def forward(images: jnp.ndarray) -> jnp.ndarray:
+        x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
+                      ).astype(jnp.int8)
+
+        # init block: conv 3×3/s2 → relu6 → requant (16-bit node)
+        w8, b32 = plan.conv('init_block')
+        acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+        acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
+                     * np.float32(s_in))
+        acc = _relu6_clip(acc, acc_scale)
+        s16, b16, sg16 = act_info('quant_act_int32')
+        mult = plan.requant_mult('init_rq', acc_scale, s16)
+        x = _requant(acc, mult, b16, sg16, residual_dtype)
+        prev_scale = np.float32(s16)
+
+        in_ch = w8.shape[-1]
+        for i, stage in enumerate(stages, start=1):
+            for j, out_ch in enumerate(stage, start=1):
+                p = f'features.stage{i}.unit{j}'
+                stride = 2 if (j == 1 and i != 1) else 1
+                residual = (in_ch == out_ch) and (stride == 1)
+
+                sa, ba, sga = act_info(f'{p}.quant_act')
+                mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
+                xa = _requant(x, mult, ba, sga)
+
+                # expansion 1×1 → relu6 → requant
+                w8, b32 = plan.conv(f'{p}.conv1')
+                acc = _conv_i8(xa, w8, (1, 1), 'VALID') + b32
+                acc_scale = (fm[f'{p}.conv1.weight_scale'].astype(np.float32)
+                             * np.float32(sa))
+                acc = _relu6_clip(acc, acc_scale)
+                sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
+                mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
+                h = _requant(acc, mult, ba1, sg1)
+
+                # depthwise 3×3 → relu6 → requant
+                w8, b32 = plan.conv(f'{p}.conv2')
+                mid = w8.shape[-1]
+                # HWIO depthwise kernel: (3, 3, 1, mid), groups = mid
+                acc = _conv_i8(h, w8, (stride, stride), ((1, 1), (1, 1)),
+                               groups=mid) + b32
+                acc_scale = (fm[f'{p}.conv2.weight_scale'].astype(np.float32)
+                             * np.float32(sa1))
+                acc = _relu6_clip(acc, acc_scale)
+                sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
+                mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
+                h = _requant(acc, mult, ba2, sg2)
+
+                # linear projection 1×1 (no activation)
+                w8, b32 = plan.conv(f'{p}.conv3')
+                acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
+                acc_scale = (fm[f'{p}.conv3.weight_scale'].astype(np.float32)
+                             * np.float32(sa2))
+
+                s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')
+                m_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
+                if residual:
+                    m_id = plan.requant_mult(f'{p}.res_id', prev_scale, s_out)
+                    x = qops.requant_add_int32(acc, m_main, x, m_id)
+                    if residual_dtype != jnp.int32:
+                        info = jnp.iinfo(residual_dtype)
+                        x = jnp.clip(x, info.min, info.max
+                                     ).astype(residual_dtype)
+                else:
+                    x = _requant(acc, m_main, b_out, sg_out, residual_dtype)
+                prev_scale = np.float32(s_out)
+                in_ch = out_ch
+
+        # final 1×1 block → relu6 → requant
+        sa, ba, sga = act_info('quant_act_before_final_block')
+        mult = plan.requant_mult('final_in', prev_scale, sa)
+        xa = _requant(x, mult, ba, sga)
+        w8, b32 = plan.conv('features.final_block')
+        acc = _conv_i8(xa, w8, (1, 1), 'VALID') + b32
+        acc_scale = (fm['features.final_block.weight_scale']
+                     .astype(np.float32) * np.float32(sa))
+        acc = _relu6_clip(acc, acc_scale)
+        sf, bf, sgf = act_info('quant_act_int32_final')
+        mult = plan.requant_mult('final_rq', acc_scale, sf)
+        x = _requant(acc, mult, bf, sgf, jnp.int32)
+
+        # integer global average pool (trunc) + output requant
+        hw = x.shape[1] * x.shape[2]
+        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
+        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01
+                           ).astype(jnp.int32)
+        so, bo, sgo = act_info('quant_act_output')
+        mult = plan.requant_mult('out_rq', np.float32(sf), so)
+        f8 = _requant(pooled, mult, bo, sgo)
+
+        # 1×1 conv head on the pooled vector = dense
+        w8 = np.asarray(fm['output.weight_int'])        # (1,1,C,O)
+        b32 = np.asarray(fm['output.bias_int'])
+        w2d = w8.reshape(w8.shape[2], w8.shape[3])
+        acc = jax.lax.dot_general(f8, w2d, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32) + b32
+        out_scale = (fm['output.weight_scale'].astype(np.float32)
+                     * np.float32(so))
+        return acc.astype(jnp.float32) * out_scale
+
+    return jax.jit(forward)

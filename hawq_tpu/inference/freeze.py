@@ -180,6 +180,80 @@ def freeze_resnet(variables: Mapping, arch: str, cfg: BitConfig,
                        num_classes=num_classes)
 
 
+def freeze_mobilenetv2(variables: Mapping, cfg: BitConfig,
+                       stages, num_classes: int = 1000) -> FrozenModel:
+    """Convert QMobileNetV2 QAT variables → FrozenModel.
+
+    ``stages`` is the channel structure used to build the model
+    (hawq_tpu/models/mobilenetv2.py MOBILENETV2_STAGES or the tiny variant).
+    """
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+    qstats = variables['quant_stats']
+    st = cfg.settings
+    tensors: Dict[str, np.ndarray] = {}
+
+    def act(key: str, module_path) -> np.float32:
+        node = qstats
+        for part in module_path:
+            node = node[part]
+        s = _act_scale_from_stats(node, cfg.act_bits(key), cfg.act_mode(key))
+        tensors[key + '.act_scale'] = np.float32(s)
+        return s
+
+    def convbn(key: str, module_path, in_scale: np.float32):
+        p, b = params, bstats
+        for part in module_path:
+            p = p[part]
+            b = b[part]
+        out = _freeze_convbn(p, b, cfg.weight_bits(key), st.bias_bit,
+                             in_scale, st.per_channel)
+        for k, v in out.items():
+            tensors[f'{key}.{k}'] = v
+
+    in_scale = act('quant_input', ('quant_input',))
+    convbn('init_block', ('init_block',), in_scale)
+    act('quant_act_int32', ('quant_act_int32',))
+
+    for i, stage in enumerate(stages, start=1):
+        for j, _ in enumerate(stage, start=1):
+            p = f'features.stage{i}.unit{j}'
+            mod = f'stage{i}_unit{j}'
+            a = act(f'{p}.quant_act', (mod, 'quant_act'))
+            convbn(f'{p}.conv1', (mod, 'conv1'), a)
+            a1 = act(f'{p}.quant_act1', (mod, 'quant_act1'))
+            convbn(f'{p}.conv2', (mod, 'conv2'), a1)
+            a2 = act(f'{p}.quant_act2', (mod, 'quant_act2'))
+            convbn(f'{p}.conv3', (mod, 'conv3'), a2)
+            act(f'{p}.quant_act_int32', (mod, 'quant_act_int32'))
+
+    a = act('quant_act_before_final_block', ('quant_act_before_final_block',))
+    convbn('features.final_block', ('final_block',), a)
+    act('quant_act_int32_final', ('quant_act_int32_final',))
+    out_sc = act('quant_act_output', ('quant_act_output',))
+
+    # output head: bare QuantConv2d 1×1 with bias (q_mobilenetv2.py:176-178)
+    kernel = np.asarray(params['output']['kernel'], np.float64)  # (1,1,C,O)
+    bias = np.asarray(params['output']['bias'], np.float64)
+    w_flat = kernel.reshape(-1, kernel.shape[-1])
+    if st.per_channel:
+        lo, hi = w_flat.min(axis=0), w_flat.max(axis=0)
+    else:
+        lo, hi = w_flat.min(), w_flat.max()
+    w_scale = _sym_scale(cfg.weight_bits('output'), lo, hi).astype(np.float32)
+    n = 2 ** (cfg.weight_bits('output') - 1) - 1
+    tensors['output.weight_int'] = np.clip(
+        _round_half_up(kernel / w_scale), -n - 1, n).astype(np.int8)
+    bias_scale = w_scale.astype(np.float64) * np.float64(out_sc)
+    nb = 2 ** (st.bias_bit - 1) - 1
+    tensors['output.bias_int'] = np.clip(
+        _round_half_up(bias / bias_scale), -nb - 1, nb).astype(np.int32)
+    tensors['output.weight_scale'] = np.atleast_1d(w_scale)
+
+    return FrozenModel(arch='mobilenetv2', cfg=cfg, tensors=tensors,
+                       num_classes=num_classes)
+
+
 def model_size_bytes(fm: FrozenModel) -> int:
     """Deployed model size with true bit-packing (int4 weights count 4 bits),
     the number reported in the reference's Tables I/II (README.md:41-57)."""

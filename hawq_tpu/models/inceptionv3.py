@@ -34,6 +34,10 @@ INCEPTION_B_MID = (128, 160, 160, 192)
 INCEPTION_INIT_CH = 192
 
 
+def _cdiv(c: int, w: int) -> int:
+    return max(c // w, 4)
+
+
 def _pad(p) -> tuple:
     if isinstance(p, int):
         return ((p, p), (p, p))
@@ -203,14 +207,15 @@ class _InceptionUnit(nn.Module):
             pre_act_scale=sfs[0], update_stats=update_stats)
 
 
-def _unit_a(cfg, prefix, out_channels, name):
-    pool_ch = out_channels - 224
+def _unit_a(cfg, prefix, out_channels, name, w=1):
+    pool_ch = _cdiv(out_channels - 224, w) if w > 1 else out_channels - 224
+    d = lambda c: _cdiv(c, w)
     return _InceptionUnit(cfg=cfg, prefix=prefix, name=name, branch_defs=(
-        ('branch1', _Conv1x1Branch, dict(features=64)),
-        ('branch2', _ConvSeqBranch, dict(out_channels=(48, 64),
+        ('branch1', _Conv1x1Branch, dict(features=d(64))),
+        ('branch2', _ConvSeqBranch, dict(out_channels=(d(48), d(64)),
                                          kernels=(1, 5), strides=(1, 1),
                                          paddings=(0, 2))),
-        ('branch3', _ConvSeqBranch, dict(out_channels=(64, 96, 96),
+        ('branch3', _ConvSeqBranch, dict(out_channels=(d(64), d(96), d(96)),
                                          kernels=(1, 3, 3),
                                          strides=(1, 1, 1),
                                          paddings=(0, 1, 1))),
@@ -218,11 +223,12 @@ def _unit_a(cfg, prefix, out_channels, name):
     ))
 
 
-def _unit_reduction_a(cfg, prefix, name):
+def _unit_reduction_a(cfg, prefix, name, w=1):
+    d = lambda c: _cdiv(c, w)
     return _InceptionUnit(cfg=cfg, prefix=prefix, name=name, branch_defs=(
-        ('branch1', _ConvSeqBranch, dict(out_channels=(384,), kernels=(3,),
+        ('branch1', _ConvSeqBranch, dict(out_channels=(d(384),), kernels=(3,),
                                          strides=(2,), paddings=(0,))),
-        ('branch2', _ConvSeqBranch, dict(out_channels=(64, 96, 96),
+        ('branch2', _ConvSeqBranch, dict(out_channels=(d(64), d(96), d(96)),
                                          kernels=(1, 3, 3),
                                          strides=(1, 1, 2),
                                          paddings=(0, 1, 0))),
@@ -230,52 +236,77 @@ def _unit_reduction_a(cfg, prefix, name):
     ))
 
 
-def _unit_b(cfg, prefix, mid, name):
+def _unit_b(cfg, prefix, mid, name, w=1):
+    d = lambda c: _cdiv(c, w)
+    mid = d(mid)
     return _InceptionUnit(cfg=cfg, prefix=prefix, name=name, branch_defs=(
-        ('branch1', _Conv1x1Branch, dict(features=192)),
-        ('branch2', _ConvSeqBranch, dict(out_channels=(mid, mid, 192),
+        ('branch1', _Conv1x1Branch, dict(features=d(192))),
+        ('branch2', _ConvSeqBranch, dict(out_channels=(mid, mid, d(192)),
                                          kernels=(1, (1, 7), (7, 1)),
                                          strides=(1, 1, 1),
                                          paddings=(0, (0, 3), (3, 0)))),
         ('branch3', _ConvSeqBranch, dict(
-            out_channels=(mid, mid, mid, mid, 192),
+            out_channels=(mid, mid, mid, mid, d(192)),
             kernels=(1, (7, 1), (1, 7), (7, 1), (1, 7)),
             strides=(1, 1, 1, 1, 1),
             paddings=(0, (3, 0), (0, 3), (3, 0), (0, 3)))),
-        ('branch4', _AvgPoolBranch, dict(features=192)),
+        ('branch4', _AvgPoolBranch, dict(features=d(192))),
     ))
 
 
-def _unit_reduction_b(cfg, prefix, name):
+def _unit_reduction_b(cfg, prefix, name, w=1):
+    d = lambda c: _cdiv(c, w)
     return _InceptionUnit(cfg=cfg, prefix=prefix, name=name, branch_defs=(
-        ('branch1', _ConvSeqBranch, dict(out_channels=(192, 320),
+        ('branch1', _ConvSeqBranch, dict(out_channels=(d(192), d(320)),
                                          kernels=(1, 3), strides=(1, 2),
                                          paddings=(0, 0))),
-        ('branch2', _ConvSeqBranch, dict(out_channels=(192, 192, 192, 192),
-                                         kernels=(1, (1, 7), (7, 1), 3),
-                                         strides=(1, 1, 1, 2),
-                                         paddings=(0, (0, 3), (3, 0), 0))),
+        ('branch2', _ConvSeqBranch, dict(
+            out_channels=(d(192), d(192), d(192), d(192)),
+            kernels=(1, (1, 7), (7, 1), 3),
+            strides=(1, 1, 1, 2),
+            paddings=(0, (0, 3), (3, 0), 0))),
         ('branch3', _MaxPoolBranch, dict()),
     ))
 
 
-def _unit_c(cfg, prefix, name):
+def _unit_c(cfg, prefix, name, w=1):
+    d = lambda c: _cdiv(c, w)
     return _InceptionUnit(cfg=cfg, prefix=prefix, name=name, branch_defs=(
-        ('branch1', _Conv1x1Branch, dict(features=320)),
-        ('branch2', _ConvSeq3x3Branch, dict(out_channels=(384,),
+        ('branch1', _Conv1x1Branch, dict(features=d(320))),
+        ('branch2', _ConvSeq3x3Branch, dict(out_channels=(d(384),),
                                             kernels=(1,), strides=(1,),
                                             paddings=(0,))),
-        ('branch3', _ConvSeq3x3Branch, dict(out_channels=(448, 384),
+        ('branch3', _ConvSeq3x3Branch, dict(out_channels=(d(448), d(384)),
                                             kernels=(1, 3), strides=(1, 1),
                                             paddings=(0, 1))),
-        ('branch4', _AvgPoolBranch, dict(features=192)),
+        ('branch4', _AvgPoolBranch, dict(features=d(192))),
     ))
 
 
+def build_unit(cfg, i, j, out_ch, b_mid_idx, name=None, width_div=1):
+    """Construct the unit module for stage i, unit j — shared by the model,
+    the freezer, and the engine so graph structure stays in one place."""
+    prefix = f'features.stage{i}.unit{j}'
+    name = name or f'stage{i}_unit{j}'
+    if j == 1 and i != 1:
+        return (_unit_reduction_a(cfg, prefix, name, width_div) if i == 2
+                else _unit_reduction_b(cfg, prefix, name, width_div))
+    if i == 1:
+        return _unit_a(cfg, prefix, out_ch, name, width_div)
+    if i == 2:
+        return _unit_b(cfg, prefix, INCEPTION_B_MID[b_mid_idx], name,
+                       width_div)
+    return _unit_c(cfg, prefix, name, width_div)
+
+
 class QInceptionV3(nn.Module):
-    """Quantized InceptionV3 (q_inceptionv3.py:652-786), 299×299 input."""
+    """Quantized InceptionV3 (q_inceptionv3.py:652-786), 299×299 input.
+
+    ``width_div`` scales all channel counts down (same wiring) for the
+    CPU-budget test variant."""
     cfg: Optional[BitConfig] = None
     num_classes: int = 1000
+    width_div: int = 1
 
     @nn.compact
     def __call__(self, x, *, folded: bool = True, update_stats: bool = False):
@@ -285,8 +316,10 @@ class QInceptionV3(nn.Module):
 
         x, a_sf = _qact(cfg, f'{ip}.q_input_activ', 'q_input_activ')(
             x, update_stats=update_stats)
+        init_chs = tuple(_cdiv(c, self.width_div) if self.width_div > 1
+                         else c for c in (32, 32, 64, 80, 192))
         for i, (c, k, s, p) in enumerate(
-                zip((32, 32, 64, 80, 192), (3, 3, 3, 1, 3),
+                zip(init_chs, (3, 3, 3, 1, 3),
                     (2, 1, 1, 1, 1), (0, 0, 1, 0, 0)), start=1):
             x, a_sf = _InceptConv(cfg=cfg, prefix=f'{ip}.q_conv{i}',
                                   features=c, kernel=k, stride=s, padding=p,
@@ -299,18 +332,10 @@ class QInceptionV3(nn.Module):
         for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
             b_idx = 0
             for j, out_ch in enumerate(stage, start=1):
-                prefix = f'features.stage{i}.unit{j}'
-                name = f'stage{i}_unit{j}'
-                if j == 1 and i != 1:
-                    unit = (_unit_reduction_a(cfg, prefix, name) if i == 2
-                            else _unit_reduction_b(cfg, prefix, name))
-                elif i == 1:
-                    unit = _unit_a(cfg, prefix, out_ch, name)
-                elif i == 2:
-                    unit = _unit_b(cfg, prefix, INCEPTION_B_MID[b_idx], name)
+                unit = build_unit(cfg, i, j, out_ch, b_idx,
+                                  width_div=self.width_div)
+                if i == 2 and not (j == 1 and i != 1):
                     b_idx += 1
-                else:
-                    unit = _unit_c(cfg, prefix, name)
                 x, a_sf = unit(x, a_sf, folded=folded,
                                update_stats=update_stats)
 

@@ -20,6 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # ignored by this jax version; the config API works.
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers the axon TPU backend and
+# sets jax_platforms='axon,cpu' regardless of JAX_PLATFORMS — tests must
+# override via the config API or every compile goes through the TPU tunnel.
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/tmp/hawq_tpu_xla_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -1,0 +1,51 @@
+"""InceptionV3 QAT ↔ integer-engine bit-exact parity (width-divided variant).
+
+Covers the machinery unique to inception: branch-local input requants, the
+dual 1×3/3×1 sub-concat, avg/max-pool branches, and the multi-branch concat
+requantization to a shared unit scale.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+from hawq_tpu.models.inceptionv3 import QInceptionV3
+from hawq_tpu.inference.engine_inception import (freeze_inceptionv3,
+                                                 build_inceptionv3_engine)
+
+WIDTH_DIV = 16
+
+
+@pytest.mark.slow
+def test_inception_qat_engine_parity():
+    cfg = BitConfig(name='incept_tiny_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=WIDTH_DIV)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(2):
+        v = calib(v, x)
+    qat = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, folded=True, update_stats=False))(v, x))
+
+    fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
+                            width_div=WIDTH_DIV)
+    eng = np.asarray(build_inceptionv3_engine(fm, width_div=WIDTH_DIV)(x))
+
+    out_scale = (fm['output.q_fc.weight_scale'].astype(np.float64)
+                 * np.float64(fm.act_scale('features.q_concat_activ')))
+    qat_int = np.round(qat / out_scale)
+    eng_int = np.round(eng / out_scale)
+    mismatches = int(np.sum(qat_int != eng_int))
+    assert mismatches == 0, (
+        f'{mismatches}/{qat_int.size} integer logits differ; '
+        f'max |Δ| = {np.max(np.abs(qat / out_scale - eng / out_scale))}')
