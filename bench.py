@@ -110,6 +110,11 @@ def main():
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
     t_int8 = time_per_iter(engine, x)
 
+    # batch-8 point (the reference's benchmark setting, latency-oriented)
+    x8 = x[:8]
+    t_f32_b8 = time_per_iter(f32_fn, x8)
+    t_int8_b8 = time_per_iter(engine, x8)
+
     speedup = t_f32 / t_int8
     result = {
         'metric': 'resnet50_w8a8_speedup_vs_fp32',
@@ -123,6 +128,8 @@ def main():
         'fp32_images_per_sec': round(batch / t_f32, 1),
         'int8_images_per_sec': round(batch / t_int8, 1),
         'batch': batch,
+        'speedup_batch8': round(t_f32_b8 / t_int8_b8, 3),
+        'int8_ms_batch8': round(t_int8_b8 * 1e3, 3),
         'device': str(jax.devices()[0]),
     }
     print(json.dumps(result))

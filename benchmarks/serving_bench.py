@@ -1,0 +1,78 @@
+"""Serving throughput + scaling benchmark.
+
+Reports images/sec for the integer ResNet50 engine at:
+  * 1 device (direct jit)
+  * all visible devices (mesh-sharded batch via ServingEngine)
+  * the dynamic batcher path (request-level continuous batching)
+
+On the single-chip build box the mesh rows exercise the virtual CPU mesh
+(functional check); on a real slice the same script reports the
+scaling curve (the ≥90% linear-scaling target of BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_requests: int = 256):
+    import jax
+    import jax.numpy as jnp
+    from bench import time_per_iter
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+    from hawq_tpu.inference.engine import build_resnet_engine
+    from hawq_tpu.parallel.serving import ServingEngine
+
+    cfg = get_bit_config('resnet50', 'uniform8')
+    fm = synthetic_frozen_resnet('resnet50', cfg)
+    engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
+    batch = 64
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
+
+    results = {}
+
+    # 1 device, direct
+    t = time_per_iter(engine, x)
+    results['one_device_img_per_sec'] = batch / t
+    print(f'1-device direct     : {batch/t:10.0f} img/s', flush=True)
+
+    # all devices, sharded
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        serving = ServingEngine(engine, batch_size=batch * n_dev)
+        tput = serving.throughput()
+        results['mesh_devices'] = n_dev
+        results['mesh_img_per_sec'] = tput
+        results['scaling_efficiency'] = tput / (
+            results['one_device_img_per_sec'] * n_dev)
+        print(f'{n_dev}-device sharded  : {tput:10.0f} img/s '
+              f'(efficiency {results["scaling_efficiency"]:.2f})', flush=True)
+
+    # dynamic batcher (request-level, includes host overhead)
+    serving1 = ServingEngine(engine, n_devices=1, batch_size=batch)
+    batcher = serving1.batcher(max_delay_ms=10, depth=4)
+    try:
+        images = rng.rand(n_requests, 224, 224, 3).astype(np.float32)
+        t0 = time.perf_counter()
+        slots = [batcher.submit(images[i]) for i in range(n_requests)]
+        for s in slots:
+            s.get(timeout=300)
+        dt = time.perf_counter() - t0
+        results['batcher_img_per_sec'] = n_requests / dt
+        print(f'dynamic batcher     : {n_requests/dt:10.0f} img/s '
+              f'({n_requests} requests)', flush=True)
+    finally:
+        batcher.close()
+
+    print(json.dumps({k: round(v, 2) for k, v in results.items()}))
+
+
+if __name__ == '__main__':
+    main()

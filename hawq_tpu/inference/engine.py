@@ -121,6 +121,7 @@ def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
 
 def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         use_pallas: bool = False,
+                        routing: Optional[Dict[str, str]] = None,
                         residual_dtype=jnp.int32,
                         s2d_init: bool = False):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
@@ -137,6 +138,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     """
     arch, cfg = fm.arch, fm.cfg
     plan = _Plan(fm)
+    if routing is not None:
+        use_pallas = True
     if use_pallas:
         from hawq_tpu.kernels import matmul as km
         packed_weights = {}
@@ -145,7 +148,9 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             if key not in packed_weights:
                 w = fm[key + '.weight_int']          # (1, 1, Cin, Cout)
                 w2d = np.asarray(w).reshape(w.shape[2], w.shape[3])
-                if cfg.weight_bits(key) == 4:
+                want4 = (cfg.weight_bits(key) == 4 and
+                         (routing is None or routing.get(key) == 'pallas4w'))
+                if want4:
                     packed_weights[key] = (km.pack_int4(w2d), True)
                 else:
                     packed_weights[key] = (w2d, False)
@@ -153,8 +158,10 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
 
         def pallas_routable(key: str, kh: int, kw: int, cin: int,
                             cout: int) -> bool:
-            return (kh == 1 and kw == 1 and cin % 128 == 0
-                    and cout % 128 == 0)
+            ok = (kh == 1 and kw == 1 and cin % 128 == 0 and cout % 128 == 0)
+            if routing is not None:
+                return ok and routing.get(key, 'xla') != 'xla'
+            return ok
 
         def pallas_conv1x1_requant(x8, key, stride, mult, out_bits, signed,
                                    relu):

@@ -1,0 +1,65 @@
+"""Per-stage/per-node engine profiling — the debug_runtime analog.
+
+The reference gets per-operator timing from TVM's debug_runtime
+(/root/reference/tvm_benchmark/test_resnet_inference_time.py:244-250).
+Here the engine's ``capture`` (graph truncation) mode provides the same
+information: timing the engine truncated at successive nodes yields
+cumulative and per-segment device times, measured with the transfer-honest
+loop method (bench.time_per_iter).
+
+Also exposes ``engine_flops_and_bytes`` for roofline context.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hawq_tpu.configs.bit_config import RESNET_UNITS
+from hawq_tpu.inference.freeze import FrozenModel
+
+
+def default_capture_points(fm: FrozenModel) -> List[str]:
+    points = ['init']
+    for s, n_units in enumerate(RESNET_UNITS[fm.arch], start=1):
+        points.append(f'stage{s}.unit{n_units}.quant_act_int32')
+    points.append('fc_output')
+    return points
+
+
+def profile_engine(fm: FrozenModel, x, points: Optional[Sequence[str]] = None,
+                   verbose: bool = True, **engine_kwargs
+                   ) -> List[Tuple[str, float, float]]:
+    """[(node, cumulative_s, segment_s)] for successive truncation points."""
+    from bench import time_per_iter
+    from hawq_tpu.inference.engine import build_resnet_engine
+
+    points = list(points or default_capture_points(fm))
+    out = []
+    prev = 0.0
+    for pt in points:
+        eng = build_resnet_engine(fm, capture=pt, **engine_kwargs)
+        t = time_per_iter(eng, x)
+        out.append((pt, t, t - prev))
+        if verbose:
+            print(f'{pt:40s} cum {t*1e3:8.3f} ms   seg {(t-prev)*1e3:8.3f} ms',
+                  flush=True)
+        prev = t
+    return out
+
+
+def engine_flops_and_bytes(fm: FrozenModel, batch: int,
+                           image_size: int = 224) -> Dict[str, float]:
+    """Integer-op count and minimum HBM bytes for the frozen model."""
+    from benchmarks.latency_lut import conv_shapes
+    total_macs = 0
+    weight_bytes = 0
+    for (key, h, stride, kh, kw, cin, cout) in conv_shapes(
+            fm.arch, input_size=image_size, batch=batch):
+        out_sp = h // stride
+        total_macs += batch * out_sp * out_sp * kh * kw * cin * cout
+        bits = fm.cfg.weight_bits(key)
+        weight_bytes += kh * kw * cin * cout * bits // 8
+    return {'int_ops': 2.0 * total_macs,
+            'weight_bytes': float(weight_bytes)}
