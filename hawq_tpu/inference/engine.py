@@ -119,11 +119,18 @@ def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
         ((0, 0), *padding, (0, 0)))
 
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
 def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         use_pallas: bool = False,
                         routing: Optional[Dict[str, str]] = None,
                         residual_dtype=jnp.int32,
-                        s2d_init: bool = False):
+                        s2d_init: bool = False,
+                        input_mode: str = 'float32',
+                        input_mean: np.ndarray = IMAGENET_MEAN,
+                        input_std: np.ndarray = IMAGENET_STD):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
@@ -210,10 +217,25 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         if capture is not None and name == capture:
             captured['value'] = value
 
+    # uint8 serving path: fold the mean/std normalization into the input
+    # quantization affine so raw pixels transfer host→device (4× fewer
+    # bytes) and everything else runs on-device:
+    #   int = round((u8/255 − mean)/std / s_in) = round(u8·a + b)
+    in_a = (1.0 / (255.0 * input_std.astype(np.float64)
+                   * np.float64(s_in))).astype(np.float32)
+    in_b = (-input_mean.astype(np.float64)
+            / (input_std.astype(np.float64) * np.float64(s_in))
+            ).astype(np.float32)
+
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
-        x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
-                      ).astype(jnp.int8)
+        if input_mode == 'uint8':
+            x8 = jnp.clip(qops.round_half_up(
+                images.astype(jnp.float32) * in_a + in_b), -128, 127
+                ).astype(jnp.int8)
+        else:
+            x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
+                          ).astype(jnp.int8)
         emit('input', x8)
 
         # ---- init block ----

@@ -44,10 +44,12 @@ class DynamicBatcher:
 
     def __init__(self, infer_fn: Callable, batch_size: int,
                  image_shape: Tuple[int, int, int],
-                 max_delay_ms: float = 5.0, depth: int = 2):
+                 max_delay_ms: float = 5.0, depth: int = 2,
+                 image_dtype=np.float32):
         self.infer_fn = infer_fn
         self.batch_size = batch_size
         self.image_shape = image_shape
+        self.image_dtype = image_dtype
         self.max_delay_s = max_delay_ms / 1e3
         self.depth = depth
         self._requests: 'queue.Queue[Tuple[np.ndarray, object]]' = queue.Queue()
@@ -91,7 +93,7 @@ class DynamicBatcher:
                 continue
             n_real = len(batch)
             while len(batch) < self.batch_size:          # pad to static shape
-                batch.append(np.zeros(self.image_shape, np.float32))
+                batch.append(np.zeros(self.image_shape, self.image_dtype))
             x = jnp.asarray(np.stack(batch))
             out = self.infer_fn(x)                        # async dispatch
             self._inflight.put((out, slots, n_real))
@@ -117,12 +119,14 @@ class ServingEngine:
 
     def __init__(self, engine_fn: Callable, n_devices: Optional[int] = None,
                  batch_size: int = 64,
-                 image_shape: Tuple[int, int, int] = (224, 224, 3)):
+                 image_shape: Tuple[int, int, int] = (224, 224, 3),
+                 image_dtype=np.float32):
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
         self.mesh = pmesh.make_mesh(n_data=len(devices), n_model=1,
                                     devices=devices)
         self.batch_size = batch_size
         self.image_shape = image_shape
+        self.image_dtype = image_dtype
         self._sharding = pmesh.batch_sharding(self.mesh)
 
         def sharded_infer(x):
@@ -138,15 +142,19 @@ class ServingEngine:
     def batcher(self, max_delay_ms: float = 5.0, depth: int = 2
                 ) -> DynamicBatcher:
         return DynamicBatcher(self.infer, self.batch_size, self.image_shape,
-                              max_delay_ms, depth)
+                              max_delay_ms, depth, self.image_dtype)
 
     def throughput(self, n_batches: int = 16) -> float:
         """images/sec, measured with the in-jit loop chain (bench.py)."""
         from bench import time_per_iter
         del n_batches  # adaptive iteration count
         rng = np.random.RandomState(0)
-        x = jax.device_put(
-            jnp.asarray(rng.rand(self.batch_size, *self.image_shape)
-                        .astype(np.float32)), self._sharding)
+        if np.issubdtype(np.dtype(self.image_dtype), np.integer):
+            host = rng.randint(0, 256, (self.batch_size, *self.image_shape)
+                               ).astype(self.image_dtype)
+        else:
+            host = rng.rand(self.batch_size, *self.image_shape).astype(
+                self.image_dtype)
+        x = jax.device_put(jnp.asarray(host), self._sharding)
         t = time_per_iter(self.infer, x)
         return self.batch_size / t

@@ -33,8 +33,19 @@ def _rademacher_like(rng: jax.Array, params) -> Tuple[jax.Array, object]:
 
 
 def hvp(loss_fn: Callable, params, v):
-    """Hessian-vector product via forward-over-reverse."""
-    return jax.jvp(jax.grad(loss_fn), (params,), (v,))[1]
+    """Hessian-vector product via reverse-over-reverse.
+
+    Forward-over-reverse (jvp of grad) is the textbook HVP, but the
+    framework's STE quantizers are custom_vjp functions, which JAX cannot
+    jvp; grad-of-vdot-of-grad differentiates through their (traceable)
+    backward rules instead and works for the full QAT graph.
+    """
+    def gdot(p):
+        g = jax.grad(loss_fn)(p)
+        return sum(jnp.vdot(a, b) for a, b in
+                   zip(jax.tree.leaves(g), jax.tree.leaves(v)))
+
+    return jax.grad(gdot)(params)
 
 
 def hutchinson_layer_traces(loss_fn: Callable, params,

@@ -57,6 +57,8 @@ class TrainerConfig:
     calib_batches: int = 8
     distill_alpha: Optional[float] = None
     temperature: float = 6.0
+    teacher_checkpoint: Optional[str] = None   # float checkpoint (npz) for KD
+    teacher_arch: str = 'resnet101'            # KD teacher (quant_train.py:442)
     data_dir: Optional[str] = None   # None → synthetic data
     data_percentage: float = 1.0
     save_path: str = '/tmp/hawq_tpu_run'
@@ -123,6 +125,20 @@ class Trainer:
 
         if cfg.resume:
             self._resume(cfg.resume, cfg.resume_quantize)
+
+        # KD teacher: a float model applied per batch to produce soft targets
+        # (train_kd, quant_train.py:533-622; default teacher resnet101)
+        self.teacher_fn = None
+        if cfg.distill_alpha is not None:
+            from hawq_tpu.models.resnet import FloatResNet
+            teacher = FloatResNet(arch=cfg.teacher_arch,
+                                  num_classes=cfg.num_classes)
+            if cfg.teacher_checkpoint:
+                tvars, _ = ckpt.load_train_checkpoint(cfg.teacher_checkpoint)
+            else:
+                tvars = teacher.init(jax.random.PRNGKey(1), example)
+            self.teacher_fn = jax.jit(
+                lambda x: teacher.apply(tvars, x))
 
     # -- checkpointing (quant_train.py:475-481, 677-680, 238-318) ----------
     def _ckpt_path(self, name):
@@ -197,6 +213,8 @@ class Trainer:
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if self.teacher_fn is not None:
+                batch['teacher_logits'] = self.teacher_fn(batch['image'])
             self.state, metrics = step_fn(self.state, batch)
             loss_sum += float(metrics['loss'])
             acc_sum += float(metrics['accuracy'])
@@ -236,7 +254,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description='hawq-tpu QAT trainer')
     none_types = {'fix_bn_threshold': int, 'steps_per_epoch': int,
                   'eval_batches': int, 'distill_alpha': float,
-                  'data_dir': str, 'resume': str}
+                  'data_dir': str, 'resume': str,
+                  'teacher_checkpoint': str}
     for f in dataclasses.fields(TrainerConfig):
         name = '--' + f.name.replace('_', '-')
         if isinstance(f.default, bool):
