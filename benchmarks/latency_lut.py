@@ -67,8 +67,21 @@ def main(arch='resnet50', batch=64):
     from hawq_tpu.kernels import matmul as km
 
     rng = np.random.RandomState(0)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f'latency_lut_{arch}.json')
     lut = {}
+    if os.path.exists(out_path):        # resume a partial run
+        with open(out_path) as f:
+            lut = json.load(f)
+    shape_cache = {}   # many layers share shapes — measure each shape once
     for (key, h, stride, kh, kw, cin, cout) in conv_shapes(arch, batch=batch):
+        if key in lut:
+            shape_cache[(h, stride, kh, kw, cin, cout)] = lut[key]
+            continue
+        sig = (h, stride, kh, kw, cin, cout)
+        if sig in shape_cache:
+            lut[key] = shape_cache[sig]
+            continue
         x8 = jnp.asarray(rng.randint(-128, 128, (batch, h, h, cin))
                          .astype(np.int8))
         w8 = jnp.asarray(rng.randint(-128, 128, (kh, kw, cin, cout))
@@ -100,11 +113,12 @@ def main(arch='resnet50', batch=64):
         else:
             t4 = t8
         lut[key] = [t4 * 1e3, t8 * 1e3]
+        shape_cache[sig] = lut[key]
         print(f'{key:45s} int4 {t4*1e6:8.1f}us  int8 {t8*1e6:8.1f}us',
               flush=True)
+        with open(out_path, 'w') as f:     # incremental: resumable run
+            json.dump(lut, f, indent=1)
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            f'latency_lut_{arch}.json')
     with open(out_path, 'w') as f:
         json.dump(lut, f, indent=1)
     print('wrote', out_path)

@@ -150,7 +150,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
         mult = plan.requant_mult(name, from_scale, s)
         return _requant(x_int, mult, b, sg, container(b)), np.float32(s)
 
-    def incept_conv(h, a_scale, key_prefix, kernel, stride, padding):
+    def incept_conv(h, a_scale, key_prefix, stride, padding):
         w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
         acc = _conv_i8(h, w8, (stride, stride), _pad(padding)) + b32
         acc = jnp.maximum(acc, 0)           # relu before requant (monotone)
@@ -175,11 +175,9 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
         s = np.float32(s_in)
         strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
         pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
-        w = fm[f'{ip}.q_conv1.q_convbn.weight_int']
         for c in range(1, 6):
             key = f'{ip}.q_conv{c}'
-            kh = fm[f'{key}.q_convbn.weight_int'].shape[0]
-            x, s = incept_conv(x, s, key, kh, strides[c], pads[c])
+            x, s = incept_conv(x, s, key, strides[c], pads[c])
             if c in (3, 5):
                 x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
 
@@ -190,30 +188,30 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
                 bp = f'{p}.branches.{name}'
                 h, a = requant_to(x, s, f'{bp}.q_input_act', f'{bp}.in')
                 if ctor is _Conv1x1Branch:
-                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 1, 0)
+                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
                 elif ctor is _ConvSeqBranch:
-                    for c, (k, st_, pd) in enumerate(
-                            zip(kwargs['kernels'], kwargs['strides'],
+                    for c, (st_, pd) in enumerate(
+                            zip(kwargs['strides'],
                                 kwargs['paddings']), start=1):
                         h, a = incept_conv(h, a,
                                            f'{bp}.q_conv_list.q_conv{c}',
-                                           k, st_, pd)
+                                           st_, pd)
                 elif ctor is _MaxPoolBranch:
                     h = _maxpool_int(h, (3, 3), (2, 2), ((0, 0), (0, 0)))
                 elif ctor is _AvgPoolBranch:
                     h = int_avgpool_3x3(h)
                     h, a = requant_to(h, a, f'{bp}.q_pool_act', f'{bp}.pool')
-                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 1, 0)
+                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
                 elif ctor is _ConvSeq3x3Branch:
-                    for c, (k, st_, pd) in enumerate(
-                            zip(kwargs['kernels'], kwargs['strides'],
+                    for c, (st_, pd) in enumerate(
+                            zip(kwargs['strides'],
                                 kwargs['paddings']), start=1):
                         h, a = incept_conv(h, a,
                                            f'{bp}.q_conv_list.q_conv{c}',
-                                           k, st_, pd)
-                    y1, a1 = incept_conv(h, a, f'{bp}.q_conv1x3', (1, 3),
+                                           st_, pd)
+                    y1, a1 = incept_conv(h, a, f'{bp}.q_conv1x3',
                                          1, (0, 1))
-                    y2, a2 = incept_conv(h, a, f'{bp}.q_conv3x1', (3, 1),
+                    y2, a2 = incept_conv(h, a, f'{bp}.q_conv3x1',
                                          1, (1, 0))
                     r1, ssub = requant_to(y1, a1,
                                           f'{bp}.q_rescaling_activ',

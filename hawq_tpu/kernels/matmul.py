@@ -293,6 +293,77 @@ def unpack_int4(packed: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# K-blocked pipelined variant
+# ---------------------------------------------------------------------------
+
+def _int8_kblocked_kernel(x_ref, w_ref, bias_ref, mult_ref, out_ref,
+                          acc_ref, *, lo, hi, nk):
+    """Grid (i, j, k): accumulate K-blocks into a VMEM scratch, requant on
+    the last K step.  Mosaic double-buffers the x/w block DMAs across grid
+    steps, overlapping HBM traffic with the MXU."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = _requant_epilogue(acc_ref[:], bias_ref, mult_ref,
+                                       lo, hi)
+
+
+@functools.partial(jax.jit, static_argnames=('out_bits', 'signed', 'relu',
+                                             'block_m', 'block_n', 'block_k'))
+def int8_matmul_requant_kblocked(x: jnp.ndarray, w: jnp.ndarray,
+                                 bias: jnp.ndarray, mult: jnp.ndarray, *,
+                                 out_bits: int = 8, signed: bool = True,
+                                 relu: bool = False, block_m: int = 512,
+                                 block_n: int = 256,
+                                 block_k: int = 512) -> jnp.ndarray:
+    """K-blocked int8 matmul + fused requant (pipelined DMA variant)."""
+    m, k = x.shape
+    _, n = w.shape
+    bm, bn, bk = min(block_m, m), min(block_n, n), min(block_k, k)
+    if signed:
+        q = 2 ** (out_bits - 1) - 1
+        lo, hi = float(-q - 1), float(q)
+    else:
+        lo, hi = 0.0, float(2 ** out_bits - 1)
+    if relu:
+        lo = 0.0
+    nk = k // bk
+
+    return pl.pallas_call(
+        functools.partial(_int8_kblocked_kernel, lo=lo, hi=hi, nk=nk),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int8),
+        grid_spec=pl.GridSpec(
+            grid=(m // bm, n // bn, nk),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k, bytes_accessed=m * k + k * n + m * n,
+            transcendentals=0),
+    )(x, w, bias.reshape(1, -1), mult.reshape(1, -1))
+
+
+# ---------------------------------------------------------------------------
 # jnp reference implementations (exact-equality test oracles)
 # ---------------------------------------------------------------------------
 

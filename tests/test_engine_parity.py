@@ -103,3 +103,43 @@ def test_engine_jits_once_and_is_pure():
     a = np.asarray(engine(x))
     b = np.asarray(engine(x))
     np.testing.assert_array_equal(a, b)
+
+
+def test_uint8_input_mode_agrees():
+    """uint8 serving input (normalization folded into the input affine)
+    yields the same logits as feeding normalized f32 of the same pixels."""
+    from hawq_tpu.inference.engine import IMAGENET_MEAN, IMAGENET_STD
+    model, cfg, v, _ = _calibrated_model('tiny18', 'uniform8')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny18', cfg, 10)
+
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+    eng_f32 = build_resnet_engine(fm)
+    eng_u8 = build_resnet_engine(fm, input_mode='uint8')
+    a = np.asarray(eng_f32(jnp.asarray(f32)))
+    b = np.asarray(eng_u8(jnp.asarray(u8)))
+    # identical up to occasional 1-LSB input rounding differences between
+    # the fused affine and normalize-then-divide paths
+    out_scale = (fm['quant_output.weight_scale'].astype(np.float64)
+                 * np.float64(fm.act_scale('quant_act_output')))
+    assert np.array_equal(a.argmax(-1), b.argmax(-1))
+    assert np.max(np.abs(a - b) / out_scale.max()) < 50
+
+
+def test_percentile_calibration():
+    """act_percentile clips outliers out of the calibration range."""
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    cfg = BitConfig(name='tiny18_pct', table={},
+                    settings=QuantSettings(act_percentile=99.0))
+    model = QResNet(arch='tiny18', cfg=cfg, num_classes=10)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 32, 32, 3).astype(np.float32)
+    x[0, 0, 0, 0] = 1000.0          # outlier
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), folded=True,
+                   update_stats=True)
+    _, mut = model.apply(v, jnp.asarray(x), folded=True, update_stats=True,
+                         mutable=['quant_stats', 'batch_stats'])
+    x_max = float(mut['quant_stats']['quant_input']['x_max'])
+    assert x_max < 100.0            # percentile ignored the outlier

@@ -86,3 +86,16 @@ class TestPadding:
         x = jnp.ones((100, 200), jnp.int8)
         y = km.pad_to(x, 32, 128)
         assert y.shape == (128, 256)
+
+
+@pytest.mark.slow
+class TestKBlocked:
+    def test_kblocked_exact(self):
+        x, w, bias, mult = _rand_case(m=128, k=512, n=128, seed=5)
+        with pltpu.force_tpu_interpret_mode():
+            got = km.int8_matmul_requant_kblocked(
+                jnp.array(x), jnp.array(w), jnp.array(bias), jnp.array(mult),
+                block_m=64, block_n=128, block_k=128)
+        ref = km.reference_matmul_requant(jnp.array(x), jnp.array(w),
+                                          jnp.array(bias), jnp.array(mult))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
