@@ -18,6 +18,7 @@ transfer latency and compile time.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -101,19 +102,13 @@ def main():
     def bf16_fn(x):
         return fmodel.apply(fvars, x)
 
+    # headline measurements first so extras can't sink the run
     t_f32 = time_per_iter(f32_fn, x)
-    t_bf16 = time_per_iter(bf16_fn, x)
 
-    # integer engine W8A8 (int16 residual carry: the production config)
     cfg = get_bit_config('resnet50', 'uniform8')
     fm = synthetic_frozen_resnet('resnet50', cfg)
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
     t_int8 = time_per_iter(engine, x)
-
-    # batch-8 point (the reference's benchmark setting, latency-oriented)
-    x8 = x[:8]
-    t_f32_b8 = time_per_iter(f32_fn, x8)
-    t_int8_b8 = time_per_iter(engine, x8)
 
     speedup = t_f32 / t_int8
     result = {
@@ -122,16 +117,31 @@ def main():
         'unit': 'x',
         'vs_baseline': round(speedup / 3.1, 3),
         'fp32_ms_per_batch': round(t_f32 * 1e3, 3),
-        'bf16_ms_per_batch': round(t_bf16 * 1e3, 3),
         'int8_ms_per_batch': round(t_int8 * 1e3, 3),
-        'speedup_vs_bf16': round(t_bf16 / t_int8, 3),
         'fp32_images_per_sec': round(batch / t_f32, 1),
         'int8_images_per_sec': round(batch / t_int8, 1),
         'batch': batch,
-        'speedup_batch8': round(t_f32_b8 / t_int8_b8, 3),
-        'int8_ms_batch8': round(t_int8_b8 * 1e3, 3),
         'device': str(jax.devices()[0]),
     }
+
+    # context extras: bf16-default baseline + the reference's batch-8 point.
+    # Opt-in (two more model compiles ≈ minutes on the remote-compile
+    # tunnel): HAWQ_BENCH_EXTRAS=1 python bench.py
+    if os.environ.get('HAWQ_BENCH_EXTRAS') != '1':
+        print(json.dumps(result))
+        return
+    try:
+        t_bf16 = time_per_iter(bf16_fn, x)
+        result['bf16_ms_per_batch'] = round(t_bf16 * 1e3, 3)
+        result['speedup_vs_bf16'] = round(t_bf16 / t_int8, 3)
+        x8 = x[:8]
+        t_f32_b8 = time_per_iter(f32_fn, x8)
+        t_int8_b8 = time_per_iter(engine, x8)
+        result['speedup_batch8'] = round(t_f32_b8 / t_int8_b8, 3)
+        result['int8_ms_batch8'] = round(t_int8_b8 * 1e3, 3)
+    except Exception as e:          # noqa: BLE001 — extras must not fail the run
+        result['extras_error'] = f'{type(e).__name__}: {e}'[:200]
+
     print(json.dumps(result))
 
 

@@ -392,6 +392,23 @@ class QuantLinear(nn.Module):
 # Pooling
 # ---------------------------------------------------------------------------
 
+class QuantDropout(nn.Module):
+    """Scale-passthrough dropout (quant_modules.py:532-554).
+
+    Dropout rescales surviving activations by 1/(1-p), which breaks the
+    int·scale invariant during training; like the reference, it is applied
+    on the value tensor (fake-quant semantics recover at the next QuantAct)
+    and is the identity at inference.
+    """
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, scale, *, deterministic: bool = True):
+        if self.rate > 0.0 and not deterministic:
+            x = nn.Dropout(rate=self.rate, deterministic=False)(x)
+        return x, scale
+
+
 def quant_max_pool(x, scale, window=(3, 3), strides=(2, 2), padding='SAME'):
     """Max pool is scale-invariant — passthrough (quant_modules.py:497-529)."""
     y = nn.max_pool(x, window, strides=strides, padding=padding)
