@@ -205,6 +205,11 @@ class QuantAct(nn.Module):
             q = qops.dyadic_requant_residual(x, acc_scale, identity,
                                              id_scale, scale)
 
+        # golden-featuremap hook: expose the integer tensor for per-unit
+        # parity tests against the engine's capture mode (the reference's
+        # --debug-unit mechanism, hawq_utils_resnet50.py:374-424) and for
+        # the bit-config 'hook' entries (quant_train.py:285-289)
+        self.sow('intermediates', 'q_int', q)
         return q * scale, scale
 
 

@@ -143,3 +143,35 @@ def test_percentile_calibration():
                          mutable=['quant_stats', 'batch_stats'])
     x_max = float(mut['quant_stats']['quant_input']['x_max'])
     assert x_max < 100.0            # percentile ignored the outlier
+
+
+def test_per_unit_golden_featuremaps():
+    """Per-unit integer featuremap parity: the engine's capture (debug-unit)
+    tensors must bit-match the QAT graph's sown QuantAct integers — the
+    reference's golden-featuremap mechanism (hawq_utils_resnet50.py:374-424
+    + test_resnet_inference.py --debug-unit) as a proper test."""
+    model, cfg, v, x = _calibrated_model('tiny50', 'uniform8')
+    _, state = model.apply(v, x, folded=True, update_stats=False,
+                           mutable=['intermediates'])
+    inter = state['intermediates']
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+
+    for s, u in [(1, 1), (2, 1), (2, 2)]:
+        node = f'stage{s}.unit{u}.quant_act_int32'
+        eng = np.asarray(build_resnet_engine(fm, capture=node)(x))
+        # QAT sow: pre-ReLU integer values of the residual requant-add;
+        # the engine's capture is post-ReLU
+        qat_q = np.asarray(
+            inter[f'stage{s}_unit{u}']['quant_act_int32']['q_int'][0])
+        qat_post_relu = np.maximum(qat_q, 0.0)
+        diff = np.abs(qat_post_relu - eng.astype(np.float64))
+        mismatches = int(np.sum(diff > 0))
+        # Residual nodes may differ by ±1 LSB on a handful of elements: the
+        # QAT graph recovers the main-branch integers from the f32 *value*
+        # sum (z − identity), which can land a half-ULP off the engine's
+        # exact int32 accumulator when the branches differ in magnitude.
+        # (The reference's training graph has the identical property.)
+        # End-to-end logits still match bit-exactly (tests above).
+        assert np.max(diff) <= 1.0 and mismatches <= eng.size // 500, (
+            f'{node}: {mismatches}/{eng.size} integers differ '
+            f'(max |Δ| = {np.max(diff)})')
