@@ -91,9 +91,9 @@ void preprocess_batch(const uint8_t* images, int batch, int h_in, int w_in,
   }
   const float sy = h_in / rh, sx = w_in / rw;
   const float oy = (rh - crop) * 0.5f, ox = (rw - crop) * 0.5f;
-  float inv_std[3], m[3];
+  float sd[3], m[3];
   for (int c = 0; c < 3; ++c) {
-    inv_std[c] = 1.0f / std[c];
+    sd[c] = std[c];
     m[c] = mean[c];
   }
   parallel_for(batch, [&](int64_t b) {
@@ -105,8 +105,8 @@ void preprocess_batch(const uint8_t* images, int batch, int h_in, int w_in,
         const float sax = (ox + x + 0.5f) * sx - 0.5f;
         for (int c = 0; c < 3; ++c) {
           const float v =
-              bilinear(img, h_in, w_in, 3, c, say, sax) * (1.0f / 255.0f);
-          dst[(y * crop + x) * 3 + c] = (v - m[c]) * inv_std[c];
+              bilinear(img, h_in, w_in, 3, c, say, sax) / 255.0f;
+          dst[(y * crop + x) * 3 + c] = (v - m[c]) / sd[c];
         }
       }
     }
@@ -117,13 +117,15 @@ void preprocess_batch(const uint8_t* images, int batch, int h_in, int w_in,
 // The host-side mirror of the engine's input quantization stage.
 void quantize_int8(const float* x, int64_t n, float scale, int8_t lo,
                    int8_t hi, int8_t* out) {
-  const float inv = 1.0f / scale;
+
   const int64_t chunk = 1 << 20;
   const int64_t n_chunks = (n + chunk - 1) / chunk;
   parallel_for(n_chunks, [&](int64_t ci) {
     const int64_t begin = ci * chunk, end = std::min(n, begin + chunk);
     for (int64_t i = begin; i < end; ++i) {
-      float q = std::floor(x[i] * inv + 0.5f);
+      // true division (not reciprocal multiply): ulp-exact mirror of the
+      // engine's on-device x / s_in input quantization.
+      float q = std::floor(x[i] / scale + 0.5f);
       q = std::max(static_cast<float>(lo), std::min(static_cast<float>(hi), q));
       out[i] = static_cast<int8_t>(q);
     }

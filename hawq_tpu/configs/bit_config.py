@@ -97,11 +97,17 @@ class BitConfig:
 
 
 def resnet_layer_keys(arch: str) -> Iterator[str]:
-    """All config keys of a quantized ResNet, in graph order."""
+    """All config keys of a quantized ResNet, in graph order.
+
+    The init-conv key is arch-dependent (reference naming): bottleneck nets
+    use 'quant_init_convbn', basic-block nets 'quant_init_block_convbn'
+    (q_resnet.py:37 vs :98) — the model builders and freeze_resnet read the
+    same arch-correct key.
+    """
     units = RESNET_UNITS[arch]
     n_convs = RESNET_CONVS_PER_UNIT[arch]
     yield 'quant_input'
-    yield 'quant_init_convbn'
+    yield ('quant_init_convbn' if n_convs == 3 else 'quant_init_block_convbn')
     yield 'quant_act_int32'
     for s, n_units in enumerate(units, start=1):
         for u in range(1, n_units + 1):
@@ -130,7 +136,8 @@ def uniform_config(arch: str, bits: int) -> BitConfig:
     for key in resnet_layer_keys(arch):
         if key.endswith('quant_act_int32'):
             table[key] = 16
-        elif key in ('quant_input', 'quant_init_convbn', 'quant_act_output',
+        elif key in ('quant_input', 'quant_init_convbn',
+                     'quant_init_block_convbn', 'quant_act_output',
                      'quant_output'):
             table[key] = 8
         else:

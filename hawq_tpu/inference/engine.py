@@ -217,22 +217,26 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         if capture is not None and name == capture:
             captured['value'] = value
 
-    # uint8 serving path: fold the mean/std normalization into the input
-    # quantization affine so raw pixels transfer host→device (4× fewer
-    # bytes) and everything else runs on-device:
-    #   int = round((u8/255 − mean)/std / s_in) = round(u8·a + b)
-    in_a = (1.0 / (255.0 * input_std.astype(np.float64)
-                   * np.float64(s_in))).astype(np.float32)
-    in_b = (-input_mean.astype(np.float64)
-            / (input_std.astype(np.float64) * np.float64(s_in))
-            ).astype(np.float32)
+    # uint8 serving path: raw pixels transfer host→device (4× fewer bytes)
+    # and a per-channel 256-entry LUT maps u8 → int8.  The LUT is built with
+    # the exact float32 ops of the host preprocessing (u8/255 → (v−mean)/std
+    # → round(v/s_in)), so the uint8 path is **bit-identical** to running the
+    # float path on host-preprocessed images — no affine refactoring, no
+    # tolerance.
+    n_ch = len(input_mean)
+    _v = np.arange(256, dtype=np.float32)
+    _f = ((_v[None, :] / np.float32(255.0)
+           - input_mean.astype(np.float32)[:, None])
+          / input_std.astype(np.float32)[:, None])
+    u8_lut = np.clip(np.floor(_f / np.float32(s_in) + np.float32(0.5)),
+                     -128, 127).astype(np.int8).reshape(-1)   # (C*256,)
+    u8_offsets = (np.arange(n_ch, dtype=np.int32) * 256)      # (C,)
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
         if input_mode == 'uint8':
-            x8 = jnp.clip(qops.round_half_up(
-                images.astype(jnp.float32) * in_a + in_b), -128, 127
-                ).astype(jnp.int8)
+            idx = images.astype(jnp.int32) + u8_offsets
+            x8 = jnp.take(u8_lut, idx)
         else:
             x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
                           ).astype(jnp.int8)

@@ -111,20 +111,11 @@ def freeze_inceptionv3(variables: Mapping, cfg: BitConfig,
         s = act(f'{p}.q_rescaling_activ', (mod, 'q_rescaling_activ'))
 
     out_sc = act('features.q_concat_activ', ('q_concat_activ',))
-    kernel = np.asarray(params['q_fc']['kernel'], np.float64)
-    bias = np.asarray(params['q_fc']['bias'], np.float64)
-    lo, hi = (kernel.min(axis=0), kernel.max(axis=0)) if st.per_channel \
-        else (kernel.min(), kernel.max())
-    n = 2 ** (cfg.weight_bits('output.q_fc') - 1) - 1
-    w_scale = (np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-8) / n
-               ).astype(np.float32)
-    tensors['output.q_fc.weight_int'] = np.clip(
-        np.floor(kernel / w_scale + 0.5), -n - 1, n).astype(np.int8)
-    nb = 2 ** (st.bias_bit - 1) - 1
-    bias_scale = w_scale.astype(np.float64) * np.float64(out_sc)
-    tensors['output.q_fc.bias_int'] = np.clip(
-        np.floor(bias / bias_scale + 0.5), -nb - 1, nb).astype(np.int32)
-    tensors['output.q_fc.weight_scale'] = np.atleast_1d(w_scale)
+    from hawq_tpu.inference.freeze import _freeze_linear
+    lin = _freeze_linear(params['q_fc'], cfg.weight_bits('output.q_fc'),
+                         st.bias_bit, out_sc, st.per_channel)
+    for k, v in lin.items():
+        tensors[f'output.q_fc.{k}'] = v
 
     return FrozenModel(arch='inceptionv3', cfg=cfg, tensors=tensors,
                        num_classes=num_classes)

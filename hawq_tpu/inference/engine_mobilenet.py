@@ -28,9 +28,14 @@ from hawq_tpu.quant import ops as qops
 
 
 def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
-    """Integer-domain ReLU6: clamp acc to [0, round(6/acc_scale)]."""
-    hi = np.floor(6.0 / np.asarray(acc_scale, np.float64) + 0.5)
-    hi = np.minimum(hi, np.float64(2 ** 31 - 1)).astype(np.int32)
+    """Integer-domain ReLU6: clamp acc to [0, round(6/acc_scale)].
+
+    float32 with the same op order as the QAT graph's relu6_int
+    (models/mobilenetv2.py) so the bound is computed identically."""
+    hi = np.floor(np.float32(6.0) / np.asarray(acc_scale, np.float32)
+                  + np.float32(0.5))
+    hi = np.minimum(hi, np.float32(2 ** 31 - 1)).astype(np.int64
+                                                        ).astype(np.int32)
     return jnp.clip(acc, 0, hi)
 
 

@@ -14,8 +14,11 @@ act_scale f32[]) plus the BitConfig.  The engine (inference/engine.py)
 consumes it directly; utils/checkpoint.py serializes it.
 
 All integer/scale computations replicate the folded QAT path
-(hawq_tpu/nn/layers.py QuantConvBn folded branch) in float64 numpy so the
-frozen integers are exactly the ones the training graph uses.
+(hawq_tpu/nn/layers.py QuantConvBn folded branch) in **float32 numpy with the
+same op order as the jnp graph** — IEEE f32 elementwise ops are deterministic
+and identical between numpy and XLA, so the frozen integers and scales are
+bit-for-bit the ones the training graph uses.  (Float64 here would be wrong:
+double rounding flips round-half-up decisions relative to the f32 QAT graph.)
 """
 
 from __future__ import annotations
@@ -47,71 +50,80 @@ class FrozenModel:
 
 
 def _sym_scale(bits: int, lo, hi):
+    """float32 mirror of qops.symmetric_quant_scale (same op order)."""
     n = 2 ** (bits - 1) - 1
-    return np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-8) / n
+    bound = np.maximum(np.abs(lo), np.abs(hi)).astype(np.float32)
+    return (np.maximum(bound, np.float32(1e-8)) / n).astype(np.float32)
 
 
 def _round_half_up(x):
-    return np.floor(x + 0.5)
+    return np.floor(x + np.float32(0.5))
+
+
+def _quant_int(x, scale, bits: int, out_dtype):
+    """float32 mirror of qops.quantize_symmetric: clip(round(x/scale))."""
+    n = 2 ** (bits - 1) - 1
+    q = _round_half_up(x.astype(np.float32) / scale)
+    q = np.clip(q, np.float32(-n - 1), np.float32(n))
+    return q.astype(np.int64).astype(out_dtype)
 
 
 def _act_scale_from_stats(stats: Mapping, bits: int, mode: str) -> np.float32:
-    x_min = np.float64(stats['x_min'])
-    x_max = np.float64(stats['x_max'])
+    x_min = np.float32(stats['x_min'])
+    x_max = np.float32(stats['x_max'])
     if mode == 'asymmetric':
         n = 2 ** bits - 1
-        return np.float32(max(x_max - x_min, 1e-8) / n)
+        return np.float32(
+            np.maximum(x_max - x_min, np.float32(1e-8)) / np.float32(n))
     n = 2 ** (bits - 1) - 1
-    return np.float32(max(max(abs(x_min), abs(x_max)), 1e-8) / n)
+    bound = np.maximum(np.abs(x_min), np.abs(x_max))
+    return np.float32(np.maximum(bound, np.float32(1e-8)) / np.float32(n))
 
 
 def _freeze_convbn(params: Mapping, bstats: Mapping, weight_bit: int,
                    bias_bit: int, in_act_scale: np.float32,
                    per_channel: bool) -> Dict[str, np.ndarray]:
-    """Fold BN and quantize — mirrors QuantConvBn folded branch /
-    quant_modules.py:441-494."""
-    kernel = np.asarray(params['kernel'], np.float64)        # HWIO
-    gamma = np.asarray(params['gamma'], np.float64)
-    beta = np.asarray(params['beta'], np.float64)
-    mean = np.asarray(bstats['mean'], np.float64)
-    var = np.asarray(bstats['var'], np.float64)
+    """Fold BN and quantize — float32 mirror of the QuantConvBn folded branch
+    (nn/layers.py), parity target quant_modules.py:441-494."""
+    kernel = np.asarray(params['kernel'], np.float32)        # HWIO
+    gamma = np.asarray(params['gamma'], np.float32)
+    beta = np.asarray(params['beta'], np.float32)
+    mean = np.asarray(bstats['mean'], np.float32)
+    var = np.asarray(bstats['var'], np.float32)
 
-    bn_factor = gamma / np.sqrt(var + BN_EPS)
+    running_std = np.sqrt(var + np.float32(BN_EPS))
+    bn_factor = gamma / running_std
     w = kernel * bn_factor                     # broadcast over Cout (last)
-    b = (0.0 - mean) * bn_factor + beta
+    b = (np.float32(0.0) - mean) * bn_factor + beta
 
     w_flat = w.reshape(-1, w.shape[-1])
     if per_channel:
         lo, hi = w_flat.min(axis=0), w_flat.max(axis=0)
     else:
         lo, hi = w_flat.min(), w_flat.max()
-    w_scale = _sym_scale(weight_bit, lo, hi).astype(np.float32)
+    w_scale = _sym_scale(weight_bit, lo, hi)
 
-    n = 2 ** (weight_bit - 1) - 1
-    w_int = np.clip(_round_half_up(w / w_scale), -n - 1, n).astype(np.int8)
-    bias_scale = (w_scale.astype(np.float64) * np.float64(in_act_scale))
-    nb = 2 ** (bias_bit - 1) - 1
-    b_int = np.clip(_round_half_up(b / bias_scale), -nb - 1, nb).astype(np.int64)
-    return {'weight_int': w_int, 'bias_int': b_int.astype(np.int32),
+    w_int = _quant_int(w, w_scale, weight_bit, np.int8)
+    bias_scale = (w_scale * np.float32(in_act_scale)).astype(np.float32)
+    b_int = _quant_int(b, bias_scale, bias_bit, np.int32)
+    return {'weight_int': w_int, 'bias_int': b_int,
             'weight_scale': np.atleast_1d(w_scale)}
 
 
 def _freeze_linear(params: Mapping, weight_bit: int, bias_bit: int,
                    in_act_scale: np.float32,
                    per_channel: bool) -> Dict[str, np.ndarray]:
-    kernel = np.asarray(params['kernel'], np.float64)        # (F, O)
-    bias = np.asarray(params['bias'], np.float64)
+    kernel = np.asarray(params['kernel'], np.float32)        # (F, O)
+    bias = np.asarray(params['bias'], np.float32)
     if per_channel:
         lo, hi = kernel.min(axis=0), kernel.max(axis=0)
     else:
         lo, hi = kernel.min(), kernel.max()
-    w_scale = _sym_scale(weight_bit, lo, hi).astype(np.float32)
-    n = 2 ** (weight_bit - 1) - 1
-    w_int = np.clip(_round_half_up(kernel / w_scale), -n - 1, n).astype(np.int8)
-    bias_scale = w_scale.astype(np.float64) * np.float64(in_act_scale)
-    nb = 2 ** (bias_bit - 1) - 1
-    b_int = np.clip(_round_half_up(bias / bias_scale), -nb - 1, nb)
-    return {'weight_int': w_int, 'bias_int': b_int.astype(np.int32),
+    w_scale = _sym_scale(weight_bit, lo, hi)
+    w_int = _quant_int(kernel, w_scale, weight_bit, np.int8)
+    bias_scale = (w_scale * np.float32(in_act_scale)).astype(np.float32)
+    b_int = _quant_int(bias, bias_scale, bias_bit, np.int32)
+    return {'weight_int': w_int, 'bias_int': b_int,
             'weight_scale': np.atleast_1d(w_scale)}
 
 
@@ -233,21 +245,19 @@ def freeze_mobilenetv2(variables: Mapping, cfg: BitConfig,
     out_sc = act('quant_act_output', ('quant_act_output',))
 
     # output head: bare QuantConv2d 1×1 with bias (q_mobilenetv2.py:176-178)
-    kernel = np.asarray(params['output']['kernel'], np.float64)  # (1,1,C,O)
-    bias = np.asarray(params['output']['bias'], np.float64)
+    kernel = np.asarray(params['output']['kernel'], np.float32)  # (1,1,C,O)
+    bias = np.asarray(params['output']['bias'], np.float32)
     w_flat = kernel.reshape(-1, kernel.shape[-1])
     if st.per_channel:
         lo, hi = w_flat.min(axis=0), w_flat.max(axis=0)
     else:
         lo, hi = w_flat.min(), w_flat.max()
-    w_scale = _sym_scale(cfg.weight_bits('output'), lo, hi).astype(np.float32)
-    n = 2 ** (cfg.weight_bits('output') - 1) - 1
-    tensors['output.weight_int'] = np.clip(
-        _round_half_up(kernel / w_scale), -n - 1, n).astype(np.int8)
-    bias_scale = w_scale.astype(np.float64) * np.float64(out_sc)
-    nb = 2 ** (st.bias_bit - 1) - 1
-    tensors['output.bias_int'] = np.clip(
-        _round_half_up(bias / bias_scale), -nb - 1, nb).astype(np.int32)
+    w_scale = _sym_scale(cfg.weight_bits('output'), lo, hi)
+    tensors['output.weight_int'] = _quant_int(
+        kernel, w_scale, cfg.weight_bits('output'), np.int8)
+    bias_scale = (w_scale * np.float32(out_sc)).astype(np.float32)
+    tensors['output.bias_int'] = _quant_int(bias, bias_scale, st.bias_bit,
+                                            np.int32)
     tensors['output.weight_scale'] = np.atleast_1d(w_scale)
 
     return FrozenModel(arch='mobilenetv2', cfg=cfg, tensors=tensors,

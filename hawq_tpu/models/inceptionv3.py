@@ -59,14 +59,17 @@ class _InceptConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, a_sf, *, folded=True, update_stats=False):
-        h, w_sf = _qconvbn(self.cfg, f'{self.prefix}.q_convbn', 'q_convbn',
-                           self.features, _ksize(self.kernel),
-                           (self.stride, self.stride), _pad(self.padding))(
-                               x, a_sf, folded=folded,
-                               update_stats=update_stats)
+        h, w_sf, acc = _qconvbn(self.cfg, f'{self.prefix}.q_convbn',
+                                'q_convbn', self.features,
+                                _ksize(self.kernel),
+                                (self.stride, self.stride),
+                                _pad(self.padding))(
+                                    x, a_sf, folded=folded,
+                                    update_stats=update_stats)
         h = nn.relu(h)
+        acc = None if acc is None else nn.relu(acc)
         return _qact(self.cfg, f'{self.prefix}.q_activ', 'q_activ')(
-            h, a_sf, w_sf, update_stats=update_stats)
+            h, a_sf, w_sf, x_int=acc, update_stats=update_stats)
 
 
 class _ConvSeqBranch(nn.Module):

@@ -46,6 +46,19 @@ def relu6(x):
     return jnp.clip(x, 0.0, 6.0)
 
 
+def relu6_int(acc, acc_scale):
+    """Integer-side ReLU6: clip(acc, 0, round_half_up(6/acc_scale)).
+
+    The engine computes the identical bound in float32 numpy
+    (inference/engine_mobilenet.py), so the clamped integers agree exactly;
+    the value-side relu6 followed by scale recovery rounds to the same
+    integers (6/s rounds half-up either way)."""
+    if acc is None:
+        return None
+    hi = jnp.floor(6.0 / acc_scale + 0.5)
+    return jnp.clip(acc, 0.0, hi)
+
+
 class QLinearBottleneck(nn.Module):
     """Inverted-residual unit (Q_LinearBottleneck, q_mobilenetv2.py:12-92)."""
     cfg: BitConfig
@@ -67,16 +80,17 @@ class QLinearBottleneck(nn.Module):
         xq, act_scale = _qact(cfg, f'{p}.quant_act', 'quant_act')(
             x, in_scale, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.conv1', 'conv1', mid, (1, 1),
-                              (1, 1), 'VALID')(
-                                  xq, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.conv1', 'conv1', mid, (1, 1),
+                                   (1, 1), 'VALID')(
+                                       xq, act_scale, folded=folded,
+                                       update_stats=update_stats)
         h = relu6(h)
+        acc = relu6_int(acc, w_scale * act_scale)
         h, a_scale = _qact(cfg, f'{p}.quant_act1', 'quant_act1')(
-            h, act_scale, w_scale, update_stats=update_stats)
+            h, act_scale, w_scale, x_int=acc, update_stats=update_stats)
 
         # depthwise 3×3
-        h, w_scale = L.QuantConvBn(
+        h, w_scale, acc = L.QuantConvBn(
             features=mid, kernel_size=(3, 3),
             strides=(self.stride, self.stride), padding=((1, 1), (1, 1)),
             groups=mid, weight_bit=cfg.weight_bits(f'{p}.conv2'),
@@ -84,25 +98,26 @@ class QLinearBottleneck(nn.Module):
             per_channel=cfg.settings.per_channel, name='conv2')(
                 h, a_scale, folded=folded, update_stats=update_stats)
         h = relu6(h)
+        acc = relu6_int(acc, w_scale * a_scale)
         h, a_scale = _qact(cfg, f'{p}.quant_act2', 'quant_act2')(
-            h, a_scale, w_scale, update_stats=update_stats)
+            h, a_scale, w_scale, x_int=acc, update_stats=update_stats)
 
         # linear 1×1 projection — no activation
-        h, w_scale = _qconvbn(cfg, f'{p}.conv3', 'conv3', self.out_ch,
-                              (1, 1), (1, 1), 'VALID')(
-                                  h, a_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.conv3', 'conv3', self.out_ch,
+                                   (1, 1), (1, 1), 'VALID')(
+                                       h, a_scale, folded=folded,
+                                       update_stats=update_stats)
 
         if residual:
             h = h + identity
             hq, out_scale = _qact(cfg, f'{p}.quant_act_int32',
                                   'quant_act_int32')(
                 h, a_scale, w_scale, identity, in_scale, None,
-                update_stats=update_stats)
+                x_int=acc, update_stats=update_stats)
         else:
             hq, out_scale = _qact(cfg, f'{p}.quant_act_int32',
                                   'quant_act_int32')(
-                h, a_scale, w_scale, update_stats=update_stats)
+                h, a_scale, w_scale, x_int=acc, update_stats=update_stats)
         return hq, out_scale
 
 
@@ -122,13 +137,15 @@ class QMobileNetV2(nn.Module):
         x, act_scale = _qact(cfg, 'quant_input', 'quant_input')(
             x, update_stats=update_stats)
 
-        x, w_scale = _qconvbn(cfg, 'init_block', 'init_block', self.init_ch,
-                              (3, 3), (2, 2), ((1, 1), (1, 1)))(
-                                  x, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        x, w_scale, acc = _qconvbn(cfg, 'init_block', 'init_block',
+                                   self.init_ch, (3, 3), (2, 2),
+                                   ((1, 1), (1, 1)))(
+                                       x, act_scale, folded=folded,
+                                       update_stats=update_stats)
         x = relu6(x)
+        acc = relu6_int(acc, w_scale * act_scale)
         x, act_scale = _qact(cfg, 'quant_act_int32', 'quant_act_int32')(
-            x, act_scale, w_scale, update_stats=update_stats)
+            x, act_scale, w_scale, x_int=acc, update_stats=update_stats)
 
         in_ch = self.init_ch
         for i, stage in enumerate(self.stages, start=1):
@@ -146,24 +163,25 @@ class QMobileNetV2(nn.Module):
         x, act_scale = _qact(cfg, 'quant_act_before_final_block',
                              'quant_act_before_final_block')(
             x, act_scale, update_stats=update_stats)
-        x, w_scale = _qconvbn(cfg, 'features.final_block', 'final_block',
-                              self.final_ch, (1, 1), (1, 1), 'VALID')(
-                                  x, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        x, w_scale, acc = _qconvbn(cfg, 'features.final_block', 'final_block',
+                                   self.final_ch, (1, 1), (1, 1), 'VALID')(
+                                       x, act_scale, folded=folded,
+                                       update_stats=update_stats)
         x = relu6(x)
+        acc = relu6_int(acc, w_scale * act_scale)
         x, act_scale = _qact(cfg, 'quant_act_int32_final',
                              'quant_act_int32_final')(
-            x, act_scale, w_scale, update_stats=update_stats)
+            x, act_scale, w_scale, x_int=acc, update_stats=update_stats)
 
         x, act_scale = L.quant_avg_pool(
             x, act_scale, (x.shape[1], x.shape[2]))
         x, act_scale = _qact(cfg, 'quant_act_output', 'quant_act_output')(
             x, act_scale, update_stats=update_stats)
 
-        x, _ = L.QuantConv2d(features=self.num_classes, kernel_size=(1, 1),
-                             padding='VALID',
-                             weight_bit=cfg.weight_bits('output'),
-                             bias_bit=cfg.settings.bias_bit,
-                             per_channel=cfg.settings.per_channel,
-                             name='output')(x, act_scale)
+        x, _, _ = L.QuantConv2d(features=self.num_classes, kernel_size=(1, 1),
+                                padding='VALID',
+                                weight_bit=cfg.weight_bits('output'),
+                                bias_bit=cfg.settings.bias_bit,
+                                per_channel=cfg.settings.per_channel,
+                                name='output')(x, act_scale)
         return x.reshape(x.shape[0], -1)

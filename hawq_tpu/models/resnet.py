@@ -85,7 +85,7 @@ class QResUnit(nn.Module):
         quant_act = _qact(cfg, f'{p}.quant_act', 'quant_act')
         if self.resize:
             xq, act_scale = quant_act(x, in_scale, update_stats=update_stats)
-            identity, id_w_scale = _qconvbn(
+            identity, id_w_scale, id_acc = _qconvbn(
                 cfg, f'{p}.quant_identity_convbn', 'quant_identity_convbn',
                 self.out, (1, 1), (self.stride, self.stride), 'VALID')(
                     xq, act_scale, folded=folded, update_stats=update_stats)
@@ -94,33 +94,36 @@ class QResUnit(nn.Module):
             identity = x
             id_act_scale = in_scale
             id_w_scale = None
+            id_acc = None
             xq, act_scale = quant_act(x, in_scale, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.quant_convbn1', 'quant_convbn1',
-                              self.mid, (1, 1), s1, 'VALID')(
-                                  xq, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.quant_convbn1', 'quant_convbn1',
+                                   self.mid, (1, 1), s1, 'VALID')(
+                                       xq, act_scale, folded=folded,
+                                       update_stats=update_stats)
         h = nn.relu(h)
+        acc = None if acc is None else nn.relu(acc)
         h, a_scale = _qact(cfg, f'{p}.quant_act1', 'quant_act1')(
-            h, act_scale, w_scale, update_stats=update_stats)
+            h, act_scale, w_scale, x_int=acc, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.quant_convbn2', 'quant_convbn2',
-                              self.mid, (3, 3), s2, ((1, 1), (1, 1)))(
-                                  h, a_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.quant_convbn2', 'quant_convbn2',
+                                   self.mid, (3, 3), s2, ((1, 1), (1, 1)))(
+                                       h, a_scale, folded=folded,
+                                       update_stats=update_stats)
         h = nn.relu(h)
+        acc = None if acc is None else nn.relu(acc)
         h, a_scale = _qact(cfg, f'{p}.quant_act2', 'quant_act2')(
-            h, a_scale, w_scale, update_stats=update_stats)
+            h, a_scale, w_scale, x_int=acc, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.quant_convbn3', 'quant_convbn3',
-                              self.out, (1, 1), (1, 1), 'VALID')(
-                                  h, a_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.quant_convbn3', 'quant_convbn3',
+                                   self.out, (1, 1), (1, 1), 'VALID')(
+                                       h, a_scale, folded=folded,
+                                       update_stats=update_stats)
 
         h = h + identity
         hq, out_scale = _qact(cfg, f'{p}.quant_act_int32', 'quant_act_int32')(
             h, a_scale, w_scale, identity, id_act_scale, id_w_scale,
-            update_stats=update_stats)
+            x_int=acc, identity_int=id_acc, update_stats=update_stats)
         return nn.relu(hq), out_scale
 
 
@@ -140,7 +143,7 @@ class QResBlock(nn.Module):
         quant_act = _qact(cfg, f'{p}.quant_act', 'quant_act')
         if self.resize:
             xq, act_scale = quant_act(x, in_scale, update_stats=update_stats)
-            identity, id_w_scale = _qconvbn(
+            identity, id_w_scale, id_acc = _qconvbn(
                 cfg, f'{p}.quant_identity_convbn', 'quant_identity_convbn',
                 self.out, (1, 1), (self.stride, self.stride), 'VALID')(
                     xq, act_scale, folded=folded, update_stats=update_stats)
@@ -149,26 +152,29 @@ class QResBlock(nn.Module):
             identity = x
             id_act_scale = in_scale
             id_w_scale = None
+            id_acc = None
             xq, act_scale = quant_act(x, in_scale, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.quant_convbn1', 'quant_convbn1',
-                              self.out, (3, 3), (self.stride, self.stride),
-                              ((1, 1), (1, 1)))(
-                                  xq, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.quant_convbn1', 'quant_convbn1',
+                                   self.out, (3, 3),
+                                   (self.stride, self.stride),
+                                   ((1, 1), (1, 1)))(
+                                       xq, act_scale, folded=folded,
+                                       update_stats=update_stats)
         h = nn.relu(h)
+        acc = None if acc is None else nn.relu(acc)
         h, a_scale = _qact(cfg, f'{p}.quant_act1', 'quant_act1')(
-            h, act_scale, w_scale, update_stats=update_stats)
+            h, act_scale, w_scale, x_int=acc, update_stats=update_stats)
 
-        h, w_scale = _qconvbn(cfg, f'{p}.quant_convbn2', 'quant_convbn2',
-                              self.out, (3, 3), (1, 1), ((1, 1), (1, 1)))(
-                                  h, a_scale, folded=folded,
-                                  update_stats=update_stats)
+        h, w_scale, acc = _qconvbn(cfg, f'{p}.quant_convbn2', 'quant_convbn2',
+                                   self.out, (3, 3), (1, 1), ((1, 1), (1, 1)))(
+                                       h, a_scale, folded=folded,
+                                       update_stats=update_stats)
 
         h = h + identity
         hq, out_scale = _qact(cfg, f'{p}.quant_act_int32', 'quant_act_int32')(
             h, a_scale, w_scale, identity, id_act_scale, id_w_scale,
-            update_stats=update_stats)
+            x_int=acc, identity_int=id_acc, update_stats=update_stats)
         return nn.relu(hq), out_scale
 
 
@@ -193,14 +199,20 @@ class QResNet(nn.Module):
         init_feats = _INIT_FEATURES.get(self.arch, 64)
         init_key = ('quant_init_convbn' if bottleneck
                     else 'quant_init_block_convbn')
-        x, w_scale = _qconvbn(cfg, init_key, init_key.replace('.', '_'),
-                              init_feats, (7, 7), (2, 2), ((3, 3), (3, 3)))(
-                                  x, act_scale, folded=folded,
-                                  update_stats=update_stats)
+        x, w_scale, acc = _qconvbn(cfg, init_key, init_key.replace('.', '_'),
+                                   init_feats, (7, 7), (2, 2),
+                                   ((3, 3), (3, 3)))(
+                                       x, act_scale, folded=folded,
+                                       update_stats=update_stats)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
+        # max-pool commutes with the (monotone) requant: pool the exact
+        # integer accumulator alongside the value
+        if acc is not None:
+            acc = nn.max_pool(acc, (3, 3), strides=(2, 2),
+                              padding=((1, 1), (1, 1)))
         x, act_scale = _qact(cfg, 'quant_act_int32', 'quant_act_int32')(
-            x, act_scale, w_scale, update_stats=update_stats)
+            x, act_scale, w_scale, x_int=acc, update_stats=update_stats)
         x = nn.relu(x)
 
         in_ch = init_feats

@@ -42,26 +42,30 @@ from hawq_tpu.quant import ops as qops
 # Exact integer conv / matmul with STE backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def int_conv2d(x_int: jnp.ndarray, w_int: jnp.ndarray,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def int_conv2d(x_int: jnp.ndarray, w_int: jnp.ndarray, bias_int: jnp.ndarray,
                strides: Tuple[int, int], padding: Any,
                feature_group_count: int) -> jnp.ndarray:
-    """Exact int8×int8→int32 convolution, returned as float32.
+    """Exact int8×int8→int32 convolution + int32 bias add, returned as float32.
 
-    x_int, w_int are integer-valued float tensors (NHWC / HWIO) whose values
-    fit int8.  Forward rounds + casts to int8 and accumulates on the MXU in
-    int32 — bit-exact integer semantics.  Backward treats the op as the
-    ordinary float convolution (straight-through), which is what QAT needs.
+    x_int, w_int, bias_int are integer-valued float tensors (NHWC / HWIO /
+    (Cout,)) whose values fit int8 / int32.  Forward rounds + casts to
+    int8/int32 and accumulates on the MXU in int32; the bias is added **in
+    int32 before the float32 cast** so the returned tensor is exactly
+    f32(acc + b) — the same single rounding the frozen engine performs
+    (inference/engine.py), even for accumulators beyond 2**24.  Backward
+    treats the op as the ordinary float convolution (straight-through).
     """
     x8 = qops.round_half_up(x_int).astype(jnp.int8)
     w8 = qops.round_half_up(w_int).astype(jnp.int8)
+    b32 = qops.round_half_up(bias_int).astype(jnp.int32)
     dn = jax.lax.conv_dimension_numbers(x8.shape, w8.shape,
                                         ('NHWC', 'HWIO', 'NHWC'))
     acc = jax.lax.conv_general_dilated(
         x8, w8, strides, padding, dimension_numbers=dn,
         feature_group_count=feature_group_count,
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32)
+    return (acc + b32).astype(jnp.float32)
 
 
 def _float_conv(x, w, strides, padding, feature_group_count):
@@ -73,8 +77,9 @@ def _float_conv(x, w, strides, padding, feature_group_count):
         preferred_element_type=jnp.float32)
 
 
-def _int_conv2d_fwd(x_int, w_int, strides, padding, feature_group_count):
-    return int_conv2d(x_int, w_int, strides, padding,
+def _int_conv2d_fwd(x_int, w_int, bias_int, strides, padding,
+                    feature_group_count):
+    return int_conv2d(x_int, w_int, bias_int, strides, padding,
                       feature_group_count), (x_int, w_int)
 
 
@@ -83,29 +88,32 @@ def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
     _, vjp = jax.vjp(
         lambda x, w: _float_conv(x, w, strides, padding, feature_group_count),
         x_int, w_int)
-    return vjp(g)
+    dx, dw = vjp(g)
+    return (dx, dw, jnp.sum(g, axis=(0, 1, 2)))
 
 
 int_conv2d.defvjp(_int_conv2d_fwd, _int_conv2d_bwd)
 
 
 @jax.custom_vjp
-def int_matmul(x_int: jnp.ndarray, w_int: jnp.ndarray) -> jnp.ndarray:
-    """Exact int8×int8→int32 matmul (x: [B, F], w: [F, O]) as float32."""
+def int_matmul(x_int: jnp.ndarray, w_int: jnp.ndarray,
+               bias_int: jnp.ndarray) -> jnp.ndarray:
+    """Exact int8×int8→int32 matmul + int32 bias (x: [B, F], w: [F, O])."""
     x8 = qops.round_half_up(x_int).astype(jnp.int8)
     w8 = qops.round_half_up(w_int).astype(jnp.int8)
+    b32 = qops.round_half_up(bias_int).astype(jnp.int32)
     acc = jax.lax.dot_general(x8, w8, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32)
+    return (acc + b32).astype(jnp.float32)
 
 
-def _int_matmul_fwd(x_int, w_int):
-    return int_matmul(x_int, w_int), (x_int, w_int)
+def _int_matmul_fwd(x_int, w_int, bias_int):
+    return int_matmul(x_int, w_int, bias_int), (x_int, w_int)
 
 
 def _int_matmul_bwd(res, g):
     x_int, w_int = res
-    return (g @ w_int.T, x_int.T @ g)
+    return (g @ w_int.T, x_int.T @ g, jnp.sum(g, axis=0))
 
 
 int_matmul.defvjp(_int_matmul_fwd, _int_matmul_bwd)
@@ -140,7 +148,8 @@ class QuantAct(nn.Module):
                  identity_weight_scale=None,
                  branch_scales: Optional[Sequence] = None,
                  branch_channels: Optional[Sequence[int]] = None,
-                 *, update_stats: bool = False):
+                 *, x_int=None, identity_int=None,
+                 update_stats: bool = False):
         x_min = self.variable('quant_stats', 'x_min',
                               lambda: jnp.zeros((), jnp.float32))
         x_max = self.variable('quant_stats', 'x_max',
@@ -195,7 +204,8 @@ class QuantAct(nn.Module):
         elif identity is None:
             acc_scale = pre_act_scale * (
                 jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
-            q = qops.dyadic_requant(x, acc_scale, scale, self.bits, signed)
+            q = qops.dyadic_requant(x, acc_scale, scale, self.bits, signed,
+                                    z_int=x_int)
         else:
             acc_scale = pre_act_scale * (
                 jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
@@ -203,7 +213,8 @@ class QuantAct(nn.Module):
                 jnp.ones(()) if identity_weight_scale is None
                 else identity_weight_scale)
             q = qops.dyadic_requant_residual(x, acc_scale, identity,
-                                             id_scale, scale)
+                                             id_scale, scale, z_int=x_int,
+                                             identity_int=identity_int)
 
         # golden-featuremap hook: expose the integer tensor for per-unit
         # parity tests against the engine's capture mode (the reference's
@@ -230,6 +241,11 @@ class QuantConvBn(nn.Module):
         conv_scale * gamma / sqrt(var + eps) per channel;
       * folded (late QAT / frozen): BN folded into weight and bias, folded
         weight quantized per channel, bias at 32 bits, integer conv.
+
+    Returns ``(value, weight_scale, acc)`` where ``acc`` is the exact
+    integer accumulator (f32(int32 conv + bias), folded mode) or None
+    (unfolded).  Models thread ``acc`` into the following QuantAct so the
+    requant runs on exact integers (no f32 value→int recovery).
 
     Weight layout HWIO; per-channel ranges over the output-channel axis.
     """
@@ -270,7 +286,8 @@ class QuantConvBn(nn.Module):
             conv_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
             w_int = qops.quantize_symmetric(kernel, conv_scale, self.weight_bit)
             x_int = x / pre_act_scale
-            conv_out = int_conv2d(x_int, w_int, self.strides, self.padding,
+            conv_out = int_conv2d(x_int, w_int, jnp.zeros((self.features,)),
+                                  self.strides, self.padding,
                                   self.groups) * conv_scale * pre_act_scale
 
             batch_mean = jnp.mean(conv_out, axis=(0, 1, 2))
@@ -282,7 +299,7 @@ class QuantConvBn(nn.Module):
                                      + batch_var * (1 - self.bn_momentum))
             output_factor = gamma / jnp.sqrt(batch_var + self.bn_eps)
             out = output_factor * (conv_out - batch_mean) + beta
-            return out, conv_scale * output_factor
+            return out, conv_scale * output_factor, None
 
         # --- folded path ---
         running_std = jnp.sqrt(running_var.value + self.bn_eps)
@@ -318,9 +335,13 @@ class QuantConvBn(nn.Module):
         b_int = qops.quantize_symmetric(scaled_bias, bias_scale, self.bias_bit)
 
         x_int = x / pre_act_scale
-        acc = int_conv2d(x_int, w_int, self.strides, self.padding, self.groups)
-        out = (acc + b_int) * bias_scale
-        return out, weight_scale
+        # acc = f32(int32 conv + int32 bias): bit-identical to the engine's
+        # accumulator at any magnitude; threaded to the next QuantAct so the
+        # dyadic requant needs no value→int recovery division.
+        acc = int_conv2d(x_int, w_int, b_int, self.strides, self.padding,
+                         self.groups)
+        out = acc * bias_scale
+        return out, weight_scale, acc
 
 
 class QuantConv2d(nn.Module):
@@ -355,12 +376,14 @@ class QuantConv2d(nn.Module):
 
         bias_scale = weight_scale * pre_act_scale
         x_int = x / pre_act_scale
-        acc = int_conv2d(x_int, w_int, self.strides, self.padding, self.groups)
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,))
             b_int = qops.quantize_symmetric(bias, bias_scale, self.bias_bit)
-            acc = acc + b_int
-        return acc * bias_scale, weight_scale
+        else:
+            b_int = jnp.zeros((self.features,))
+        acc = int_conv2d(x_int, w_int, b_int, self.strides, self.padding,
+                         self.groups)
+        return acc * bias_scale, weight_scale, acc
 
 
 class QuantLinear(nn.Module):
@@ -389,7 +412,7 @@ class QuantLinear(nn.Module):
         b_int = qops.quantize_symmetric(bias, bias_scale, self.bias_bit)
 
         x_int = x / pre_act_scale
-        acc = int_matmul(x_int, w_int) + b_int
+        acc = int_matmul(x_int, w_int, b_int)
         return acc * bias_scale
 
 

@@ -240,45 +240,89 @@ def requant_clip_bounds(num_bits: int, signed: bool) -> Tuple[float, float]:
     return 0.0, float(2 ** num_bits - 1)
 
 
+@jax.custom_vjp
+def ste_recover_int(z: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """round_half_up(z / scale) with STE backward g / scale.
+
+    Recovers the exact integer tensor from an int·scale value.  Exact as long
+    as the integers stay below 2**22 (f32 product/divide round-trip error
+    < 0.5); raw conv accumulators can exceed that, which is why the quant
+    layers thread their accumulator tensors directly (``z_int`` arguments
+    below) instead of relying on recovery.
+    """
+    return round_half_up(z / scale)
+
+
+ste_recover_int.defvjp(
+    lambda z, s: (ste_recover_int(z, s), s),
+    lambda s, g: (g / s, jnp.zeros_like(s)))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def requant_core_ste(z_int: jnp.ndarray, acc_scale: jnp.ndarray,
+                     out_scale: jnp.ndarray, num_bits: Optional[int],
+                     signed: bool) -> jnp.ndarray:
+    """Dyadic requant of an exact integer tensor, with STE backward.
+
+    z_int is an integer-valued f32 tensor (e.g. the raw int32 accumulator of
+    int_conv2d, cast to f32).  Forward is the canonical dyadic arithmetic —
+    identical to the frozen engine's :func:`requant_int32` — snap
+    acc_scale/out_scale to the dyadic grid, multiply, round, clamp
+    (num_bits=None skips the clamp, the residual-branch case).  Backward is
+    the straight-through estimator g·acc_scale/out_scale: chained with the
+    producing layer's 1/acc_scale value→int factor this reproduces the
+    reference's g/out_scale (quant_utils.py:458-460).
+    """
+    out = _requant_core(z_int, acc_scale / out_scale)
+    if num_bits is None:
+        return out
+    lo, hi = requant_clip_bounds(num_bits, signed)
+    return jnp.clip(out, lo, hi)
+
+
+def _requant_core_ste_fwd(z_int, acc_scale, out_scale, num_bits, signed):
+    out = requant_core_ste(z_int, acc_scale, out_scale, num_bits, signed)
+    return out, (acc_scale, out_scale)
+
+
+def _requant_core_ste_bwd(num_bits, signed, res, g):
+    acc_scale, out_scale = res
+    return (g * acc_scale / out_scale, jnp.zeros_like(acc_scale),
+            jnp.zeros_like(out_scale))
+
+
+requant_core_ste.defvjp(_requant_core_ste_fwd, _requant_core_ste_bwd)
+
+
 def dyadic_requant(z: jnp.ndarray, acc_scale: jnp.ndarray,
-                   out_scale: jnp.ndarray,
-                   num_bits: int, signed: bool) -> jnp.ndarray:
+                   out_scale: jnp.ndarray, num_bits: int, signed: bool,
+                   z_int: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Requantize an int32-valued accumulator tensor to num_bits.
 
     z            — accumulator *value* tensor (= z_int * acc_scale, float)
     acc_scale    — product s_act * s_weight of the producing layer
                    (scalar or per-channel over the last axis)
     out_scale    — target activation scale (scalar)
+    z_int        — optional exact integer tensor; when given the value/scale
+                   recovery division is skipped entirely, making the result
+                   bit-exact for accumulators beyond the f32 round-trip range
     returns      — integer values in the target bit range (float dtype)
 
     Mirrors fixedpoint_fn case 0 (quant_utils.py:390-413): recover z_int,
     snap acc_scale/out_scale to the dyadic grid, multiply, round, clamp.
     Backward is STE scaled by 1/out_scale (quant_utils.py:458-460).
     """
-    z_int = round_half_up(z / acc_scale)
-    out = _requant_core(z_int, acc_scale / out_scale)
-    lo, hi = requant_clip_bounds(num_bits, signed)
-    return jnp.clip(out, lo, hi)
+    if z_int is None:
+        z_int = ste_recover_int(z, acc_scale)
+    return requant_core_ste(z_int, acc_scale, out_scale, num_bits, signed)
 
 
-def _dyadic_requant_fwd(z, acc_scale, out_scale, num_bits, signed):
-    out = dyadic_requant(z, acc_scale, out_scale, num_bits, signed)
-    return out, (acc_scale, out_scale)
-
-
-def _dyadic_requant_bwd(num_bits, signed, res, g):
-    acc_scale, out_scale = res
-    return (g / out_scale, jnp.zeros_like(acc_scale), jnp.zeros_like(out_scale))
-
-
-dyadic_requant.defvjp(_dyadic_requant_fwd, _dyadic_requant_bwd)
-
-
-@jax.custom_vjp
 def dyadic_requant_residual(z: jnp.ndarray, acc_scale: jnp.ndarray,
                             identity: jnp.ndarray, identity_scale: jnp.ndarray,
-                            out_scale: jnp.ndarray) -> jnp.ndarray:
+                            out_scale: jnp.ndarray,
+                            z_int: Optional[jnp.ndarray] = None,
+                            identity_int: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
     """Residual-add requantization — fixedpoint_fn case 1 (quant_utils.py:415-456).
 
     z is the *sum* main + identity (both int·scale tensors); the two branches
@@ -286,32 +330,20 @@ def dyadic_requant_residual(z: jnp.ndarray, acc_scale: jnp.ndarray,
     common out_scale, rounded independently, then added.  Note: like the
     reference, the sum is NOT clamped here (the residual carries the
     16-bit-config precision); the following QuantAct clamps.
+
+    ``z_int`` is the exact *main-branch* integer accumulator (not the sum);
+    when given, the main branch skips the f32 subtraction + recovery and the
+    result is bit-exact at any accumulator magnitude.  ``identity_int``
+    likewise for a convolved identity branch.
     """
-    main = z - identity
-    main_int = round_half_up(main / acc_scale)
-    id_int = round_half_up(identity / identity_scale)
-    out_main = _requant_core(main_int, acc_scale / out_scale)
-    out_id = _requant_core(id_int, identity_scale / out_scale)
+    if z_int is None:
+        z_int = ste_recover_int(z - identity, acc_scale)
+    if identity_int is None:
+        identity_int = ste_recover_int(identity, identity_scale)
+    out_main = requant_core_ste(z_int, acc_scale, out_scale, None, True)
+    out_id = requant_core_ste(identity_int, identity_scale, out_scale,
+                              None, True)
     return out_main + out_id
-
-
-def _dyadic_requant_residual_fwd(z, acc_scale, identity, identity_scale,
-                                 out_scale):
-    res = dyadic_requant_residual(z, acc_scale, identity, identity_scale,
-                                  out_scale)
-    return res, (acc_scale, identity_scale, out_scale)
-
-
-def _dyadic_requant_residual_bwd(saved, g):
-    acc_scale, identity_scale, out_scale = saved
-    # STE: gradient flows to the summed input only, scaled by 1/out_scale,
-    # matching fixedpoint_fn.backward (quant_utils.py:458-460).
-    return (g / out_scale, jnp.zeros_like(acc_scale), jnp.zeros_like(g),
-            jnp.zeros_like(identity_scale), jnp.zeros_like(out_scale))
-
-
-dyadic_requant_residual.defvjp(_dyadic_requant_residual_fwd,
-                               _dyadic_requant_residual_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -125,13 +125,15 @@ def resnet_layer_costs(arch: str, params: Mapping, traces: Mapping[str, float],
     from hawq_tpu.models.resnet import _STAGE_CHANNELS
 
     bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+    conv1_stride = arch == 'resnet50'   # v1: stage stride on the 1×1 conv1
     layers: List[LayerCost] = []
     # spatial size after init conv (stride 2) + maxpool (stride 2)
     spatial = input_size // 4
 
     for s, n_units in enumerate(RESNET_UNITS[arch], start=1):
+        in_spatial = spatial            # unit input resolution (pre-stride)
         if s > 1:
-            spatial //= 2
+            spatial //= 2               # resolution after the strided conv
         for u in range(1, n_units + 1):
             mod = f'stage{s}_unit{u}'
             p = f'stage{s}.unit{u}'
@@ -139,10 +141,20 @@ def resnet_layer_costs(arch: str, params: Mapping, traces: Mapping[str, float],
             keys = [f'quant_convbn{c}' for c in range(1, n_convs + 1)]
             if 'quant_identity_convbn' in params[mod]:
                 keys.append('quant_identity_convbn')
+            # which conv carries the stage stride (only unit 1 strides):
+            # resnet50 v1 puts it on conv1; v1.5 (50b/101) on the 3×3 conv2;
+            # basic blocks on conv1 (their 3×3).  Convs before the strided
+            # one run at the pre-stride resolution.
+            strided = ('quant_convbn1' if (conv1_stride or not bottleneck)
+                       else 'quant_convbn2') if (u == 1 and s > 1) else None
             for k in keys:
                 kernel = np.asarray(params[mod][k]['kernel'])
                 kh, kw, cin, cout = kernel.shape
-                out_sp = spatial
+                if strided is not None and k == 'quant_convbn1' \
+                        and strided == 'quant_convbn2':
+                    out_sp = in_spatial   # conv1 runs pre-stride (v1.5)
+                else:
+                    out_sp = spatial
                 macs = kh * kw * cin * cout * out_sp * out_sp
                 key = f'{p}.{k}'
                 lat = (latency_lut or {}).get(key, (0.0, 0.0))

@@ -82,17 +82,38 @@ def kd_loss(student_logits: jnp.ndarray, teacher_logits: jnp.ndarray,
     return kl * (alpha * t * t) + ce * (1.0 - alpha)
 
 
+def _mesh_jit(fn, mesh, donate_argnums=()):
+    """jit with explicit data-parallel shardings over a mesh.
+
+    The batch (second argument) is sharded over the 'data' axis (prefix
+    sharding: every leaf's leading axis); the state keeps its incoming
+    shardings (replicated params/stats, optionally tensor-sharded head).
+    GSPMD inserts the gradient/stat all-reduces (the NCCL role,
+    quant_train.py:222-223, 332-343).
+    """
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=donate_argnums)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_sh = NamedSharding(mesh, P('data'))
+    n_args = 2
+    in_sh = tuple([None] * (n_args - 1)) + (data_sh,)
+    return jax.jit(fn, donate_argnums=donate_argnums, in_shardings=in_sh)
+
+
 def make_train_step(model, *, folded: bool,
                     distill_alpha: Optional[float] = None,
-                    temperature: float = 6.0) -> Callable:
+                    temperature: float = 6.0, mesh=None) -> Callable:
     """Build the jitted QAT train step.
 
     ``folded`` selects the BN mode statically (two compiled versions; the
     trainer flips at fix_BN_threshold).  If ``distill_alpha`` is set, the
-    batch must carry 'teacher_logits'.
+    batch must carry 'teacher_logits'.  With ``mesh``, the step runs SPMD:
+    batch sharded over 'data', parameters/stats replicated — range and BN
+    statistics are computed on the logical global batch, so every replica
+    holds identical statistics (fixes the reference's multi-GPU BN pitfall,
+    model_zoo.md:70).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Mapping) -> Tuple[TrainState, Mapping]:
         def loss_fn(params):
             logits, mut = model.apply(
@@ -119,14 +140,13 @@ def make_train_step(model, *, folded: bool,
         acc = jnp.mean((jnp.argmax(logits, -1) == batch['label']).astype(jnp.float32))
         return new_state, {'loss': loss, 'accuracy': acc}
 
-    return train_step
+    return _mesh_jit(train_step, mesh, donate_argnums=(0,))
 
 
-def make_eval_step(model, *, folded: bool = True) -> Callable:
+def make_eval_step(model, *, folded: bool = True, mesh=None) -> Callable:
     """Frozen-range eval step (freeze_model → eval → unfreeze of
     quant_train.py:625-674 becomes simply update_stats=False)."""
 
-    @jax.jit
     def eval_step(variables: Mapping, batch: Mapping) -> Mapping:
         logits = model.apply(variables, batch['image'], folded=folded,
                              update_stats=False)
@@ -137,17 +157,16 @@ def make_eval_step(model, *, folded: bool = True) -> Callable:
         return {'top1': top1.mean(), 'top5': top5.mean(),
                 'loss': cross_entropy(logits, batch['label'])}
 
-    return eval_step
+    return _mesh_jit(eval_step, mesh)
 
 
-def make_calibration_step(model, *, folded: bool = True) -> Callable:
+def make_calibration_step(model, *, folded: bool = True, mesh=None) -> Callable:
     """Range-calibration pass: forward only, updating quant stats."""
 
-    @jax.jit
     def calib_step(variables: Mapping, images: jnp.ndarray) -> Mapping:
         _, mut = model.apply(variables, images, folded=folded,
                              update_stats=True,
                              mutable=['quant_stats', 'batch_stats'])
         return {**dict(variables), **dict(mut)}
 
-    return calib_step
+    return _mesh_jit(calib_step, mesh)

@@ -66,6 +66,10 @@ class TrainerConfig:
     resume_quantize: bool = False
     steps_per_epoch: Optional[int] = None    # cap (synthetic data)
     eval_batches: Optional[int] = None
+    use_mesh: bool = True            # SPMD over all visible devices
+    model_parallel: int = 1          # tensor-shard the classifier head
+    evaluate_times: int = 0          # mid-epoch evals per epoch (train_kd)
+    print_freq: int = 0              # per-step log interval (ProgressMeter)
 
 
 def build_model(cfg: TrainerConfig):
@@ -100,6 +104,13 @@ def _batches(cfg: TrainerConfig, train: bool, epoch: int) -> Iterator[dict]:
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig):
+        # multi-host rendezvous first — must precede any device query
+        # (the jax.distributed analog of dist.init_process_group,
+        # quant_train.py:222-223)
+        from hawq_tpu.parallel import distributed
+        from hawq_tpu.parallel import mesh as pmesh
+        distributed.initialize()
+
         self.cfg = cfg
         os.makedirs(cfg.save_path, exist_ok=True)
         logging.basicConfig(
@@ -113,6 +124,21 @@ class Trainer:
         self.best_acc = 0.0
         self.start_epoch = 0
 
+        # SPMD mesh over every visible device: batch over 'data', params
+        # replicated, classifier head optionally tensor-sharded over 'model'
+        n_dev = len(jax.devices())
+        self.mesh = None
+        if cfg.use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0:
+            self.mesh = pmesh.make_mesh(
+                n_data=n_dev // cfg.model_parallel,
+                n_model=cfg.model_parallel)
+            self.log.info('mesh: %s over %d devices (%d hosts)',
+                          dict(self.mesh.shape), n_dev, jax.process_count())
+        elif cfg.use_mesh and n_dev > 1:
+            self.log.warning(
+                'batch_size %d not divisible by %d devices — single-device',
+                cfg.batch_size, n_dev)
+
         example = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size,
                              3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), example,
@@ -122,6 +148,8 @@ class Trainer:
             cfg.lr, cfg.momentum, cfg.weight_decay,
             decay_every_steps=cfg.lr_decay_epochs * steps_per_epoch)
         self.state = TrainState.create(variables, tx)
+        if self.mesh is not None:
+            self.state = self._shard_state(self.state)
 
         if cfg.resume:
             self._resume(cfg.resume, cfg.resume_quantize)
@@ -136,9 +164,43 @@ class Trainer:
             if cfg.teacher_checkpoint:
                 tvars, _ = ckpt.load_train_checkpoint(cfg.teacher_checkpoint)
             else:
+                self.log.warning(
+                    'KD enabled without --teacher-checkpoint: the teacher is '
+                    'randomly initialized and distillation will distill '
+                    'noise — pass a trained float checkpoint for real runs')
                 tvars = teacher.init(jax.random.PRNGKey(1), example)
             self.teacher_fn = jax.jit(
                 lambda x: teacher.apply(tvars, x))
+
+    def _shard_state(self, state):
+        """Replicate the train state over the mesh; tensor-shard the
+        classifier head over 'model' when model_parallel > 1."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from hawq_tpu.parallel import mesh as pmesh
+        state = pmesh.replicate_state(self.mesh, state)
+        if self.cfg.model_parallel > 1 and 'quant_output' in state.params:
+            qo = dict(state.params['quant_output'])
+            qo['kernel'] = jax.device_put(
+                qo['kernel'], NamedSharding(self.mesh, P(None, 'model')))
+            qo['bias'] = jax.device_put(
+                qo['bias'], NamedSharding(self.mesh, P('model')))
+            params = dict(state.params)
+            params['quant_output'] = qo
+            state = state.replace(params=params,
+                                  opt_state=state.tx.init(params))
+        return state
+
+    def _global_batch(self, batch, with_teacher: bool = False):
+        """Host-local numpy shard → globally sharded device batch
+        (the DistributedSampler + H2D analog, quant_train.py:411, 507)."""
+        from hawq_tpu.parallel import distributed
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        if with_teacher and self.teacher_fn is not None:
+            batch['teacher_logits'] = np.asarray(
+                self.teacher_fn(jnp.asarray(batch['image'])))
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        return distributed.global_batch_from_host_shards(self.mesh, batch)
 
     # -- checkpointing (quant_train.py:475-481, 677-680, 238-318) ----------
     def _ckpt_path(self, name):
@@ -186,12 +248,15 @@ class Trainer:
 
     # -- phases -------------------------------------------------------------
     def calibrate(self):
-        calib = make_calibration_step(self.model, folded=True)
+        calib = make_calibration_step(self.model, folded=True,
+                                      mesh=self.mesh)
         variables = self.state.variables()
         for i, batch in enumerate(_batches(self.cfg, True, epoch=0)):
             if i >= self.cfg.calib_batches:
                 break
-            variables = calib(variables, jnp.asarray(batch['image']))
+            batch = self._global_batch(
+                {'image': batch['image']})
+            variables = calib(variables, batch['image'])
         self.state = self.state.replace(
             quant_stats=variables['quant_stats'],
             batch_stats=variables.get('batch_stats',
@@ -206,36 +271,58 @@ class Trainer:
             and int(self.state.step) >= cfg.fix_bn_threshold)
         step_fn = make_train_step(self.model, folded=folded,
                                   distill_alpha=cfg.distill_alpha,
-                                  temperature=cfg.temperature)
+                                  temperature=cfg.temperature,
+                                  mesh=self.mesh)
+        # mid-epoch evaluation (train_kd evaluate_times,
+        # quant_train.py:591-610)
+        eval_every = None
+        if cfg.evaluate_times > 0 and cfg.steps_per_epoch:
+            eval_every = max(cfg.steps_per_epoch // cfg.evaluate_times, 1)
         t0 = time.time()
         n, loss_sum, acc_sum = 0, 0.0, 0.0
         for i, batch in enumerate(_batches(cfg, True, epoch)):
             if cfg.steps_per_epoch and i >= cfg.steps_per_epoch:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if self.teacher_fn is not None:
-                batch['teacher_logits'] = self.teacher_fn(batch['image'])
+            batch = self._global_batch(batch, with_teacher=True)
             self.state, metrics = step_fn(self.state, batch)
             loss_sum += float(metrics['loss'])
             acc_sum += float(metrics['accuracy'])
             n += 1
+            if cfg.print_freq and n % cfg.print_freq == 0:
+                dt = time.time() - t0
+                self.log.info(
+                    'epoch %d [%d/%s] loss %.4f (%.4f) acc %.4f '
+                    '(%.1f img/s)', epoch, n, cfg.steps_per_epoch or '?',
+                    float(metrics['loss']), loss_sum / n, acc_sum / n,
+                    n * cfg.batch_size / max(dt, 1e-9))
+            if eval_every and n % eval_every == 0 \
+                    and n != cfg.steps_per_epoch:
+                acc = self.evaluate()
+                if acc > self.best_acc:
+                    self.best_acc = acc
+                    self.save_checkpoint(epoch, is_best=True)
         self.log.info(
             'epoch %d: folded_bn=%s loss %.4f acc %.4f (%d steps, %.1fs)',
             epoch, folded, loss_sum / max(n, 1), acc_sum / max(n, 1), n,
             time.time() - t0)
 
     def evaluate(self) -> float:
-        eval_fn = make_eval_step(self.model)
+        from hawq_tpu.parallel.distributed import psum_metrics
+        eval_fn = make_eval_step(self.model, mesh=self.mesh)
         variables = self.state.variables()
         tops, n = 0.0, 0
         for i, batch in enumerate(_batches(self.cfg, False, epoch=0)):
             if self.cfg.eval_batches and i >= self.cfg.eval_batches:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if k in ('image', 'label')}
+            batch = self._global_batch(batch)
             out = eval_fn(variables, batch)
             tops += float(out['top1'])
             n += 1
-        acc = tops / max(n, 1)
+        # cross-host aggregation (uneven tails): psum-average the host means
+        agg = psum_metrics({'top1': tops / max(n, 1)})
+        acc = agg['top1']
         self.log.info('eval top-1 %.4f (%d batches)', acc, n)
         return acc
 

@@ -105,27 +105,25 @@ def test_engine_jits_once_and_is_pure():
     np.testing.assert_array_equal(a, b)
 
 
-def test_uint8_input_mode_agrees():
-    """uint8 serving input (normalization folded into the input affine)
-    yields the same logits as feeding normalized f32 of the same pixels."""
+def test_uint8_input_mode_bit_exact():
+    """uint8 serving input (per-channel 256-entry LUT built with the exact
+    f32 preprocessing ops) yields **bit-identical** logits to feeding
+    host-normalized f32 of the same pixels — no tolerance."""
     from hawq_tpu.inference.engine import IMAGENET_MEAN, IMAGENET_STD
     model, cfg, v, _ = _calibrated_model('tiny18', 'uniform8')
     fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny18', cfg, 10)
 
     rng = np.random.RandomState(7)
     u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
-    f32 = ((u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+    # the canonical host preprocessing (same f32 op order as csrc/preproc):
+    f32 = ((u8.astype(np.float32) / np.float32(255.0))
+           - IMAGENET_MEAN.astype(np.float32)) / IMAGENET_STD.astype(np.float32)
 
     eng_f32 = build_resnet_engine(fm)
     eng_u8 = build_resnet_engine(fm, input_mode='uint8')
     a = np.asarray(eng_f32(jnp.asarray(f32)))
     b = np.asarray(eng_u8(jnp.asarray(u8)))
-    # identical up to occasional 1-LSB input rounding differences between
-    # the fused affine and normalize-then-divide paths
-    out_scale = (fm['quant_output.weight_scale'].astype(np.float64)
-                 * np.float64(fm.act_scale('quant_act_output')))
-    assert np.array_equal(a.argmax(-1), b.argmax(-1))
-    assert np.max(np.abs(a - b) / out_scale.max()) < 50
+    np.testing.assert_array_equal(a, b)
 
 
 def test_percentile_calibration():
@@ -160,18 +158,13 @@ def test_per_unit_golden_featuremaps():
         node = f'stage{s}.unit{u}.quant_act_int32'
         eng = np.asarray(build_resnet_engine(fm, capture=node)(x))
         # QAT sow: pre-ReLU integer values of the residual requant-add;
-        # the engine's capture is post-ReLU
+        # the engine's capture is post-ReLU.  The QAT graph threads the
+        # exact int32 accumulators into the residual requant (no f32 value
+        # recovery), so parity is **exact** — the reference's "100% matched"
+        # bar (test_resnet_inference.py:128-181).
         qat_q = np.asarray(
             inter[f'stage{s}_unit{u}']['quant_act_int32']['q_int'][0])
         qat_post_relu = np.maximum(qat_q, 0.0)
-        diff = np.abs(qat_post_relu - eng.astype(np.float64))
-        mismatches = int(np.sum(diff > 0))
-        # Residual nodes may differ by ±1 LSB on a handful of elements: the
-        # QAT graph recovers the main-branch integers from the f32 *value*
-        # sum (z − identity), which can land a half-ULP off the engine's
-        # exact int32 accumulator when the branches differ in magnitude.
-        # (The reference's training graph has the identical property.)
-        # End-to-end logits still match bit-exactly (tests above).
-        assert np.max(diff) <= 1.0 and mismatches <= eng.size // 500, (
-            f'{node}: {mismatches}/{eng.size} integers differ '
-            f'(max |Δ| = {np.max(diff)})')
+        np.testing.assert_array_equal(
+            qat_post_relu, eng.astype(np.float64),
+            err_msg=f'{node}: per-unit featuremap parity broken')

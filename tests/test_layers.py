@@ -17,8 +17,8 @@ class TestIntConv:
         rng = np.random.RandomState(0)
         x = rng.randint(-128, 128, size=(2, 8, 8, 4)).astype(np.float32)
         w = rng.randint(-8, 8, size=(3, 3, 4, 5)).astype(np.float32)
-        y = L.int_conv2d(jnp.array(x), jnp.array(w), (1, 1),
-                         ((1, 1), (1, 1)), 1)
+        y = L.int_conv2d(jnp.array(x), jnp.array(w), jnp.zeros((5,)),
+                         (1, 1), ((1, 1), (1, 1)), 1)
         # independent int reference via float64 conv on small tensor
         xi, wi = x.astype(np.int64), w.astype(np.int64)
         ref = np.zeros((2, 8, 8, 5), np.int64)
@@ -34,7 +34,8 @@ class TestIntConv:
         x = jnp.ones((1, 4, 4, 2))
         w = jnp.ones((3, 3, 2, 3))
         gx, gw = jax.grad(
-            lambda x, w: jnp.sum(L.int_conv2d(x, w, (1, 1), 'SAME', 1)),
+            lambda x, w: jnp.sum(L.int_conv2d(x, w, jnp.zeros((3,)),
+                                              (1, 1), 'SAME', 1)),
             argnums=(0, 1))(x, w)
         assert float(jnp.sum(jnp.abs(gx))) > 0
         assert float(jnp.sum(jnp.abs(gw))) > 0
@@ -43,7 +44,7 @@ class TestIntConv:
         rng = np.random.RandomState(1)
         a = rng.randint(-128, 128, (16, 32)).astype(np.float32)
         b = rng.randint(-128, 128, (32, 8)).astype(np.float32)
-        y = L.int_matmul(jnp.array(a), jnp.array(b))
+        y = L.int_matmul(jnp.array(a), jnp.array(b), jnp.zeros((8,)))
         np.testing.assert_array_equal(
             np.asarray(y, np.int64),
             a.astype(np.int64) @ b.astype(np.int64))
@@ -121,8 +122,8 @@ class TestQuantConvBn:
         in_scale = jnp.float32(0.01)
         x = jnp.array(x_int) * in_scale
         v = mod.init(jax.random.PRNGKey(0), x, in_scale, folded=True)
-        (y, w_scale), _ = mod.apply(v, x, in_scale, folded=True,
-                                    mutable=['batch_stats'])
+        (y, w_scale, acc), _ = mod.apply(v, x, in_scale, folded=True,
+                                         mutable=['batch_stats'])
         # output = acc_int * (w_scale * in_scale): dividing recovers integers
         ints = np.asarray(y) / (np.asarray(w_scale) * float(in_scale))
         np.testing.assert_allclose(ints, np.round(ints), atol=1e-2)
@@ -134,8 +135,8 @@ class TestQuantConvBn:
         in_scale = jnp.float32(0.05)
         v = mod.init(jax.random.PRNGKey(0), x, in_scale, folded=False,
                      update_stats=True)
-        (_, _), mut = mod.apply(v, x, in_scale, folded=False,
-                                update_stats=True, mutable=['batch_stats'])
+        (_, _, _), mut = mod.apply(v, x, in_scale, folded=False,
+                                   update_stats=True, mutable=['batch_stats'])
         assert float(jnp.sum(jnp.abs(mut['batch_stats']['mean']))) > 0
 
     def test_folding_consistency(self):
@@ -151,16 +152,16 @@ class TestQuantConvBn:
 
         @jax.jit
         def step(v):
-            (yu, _), mut = mod.apply(v, x, in_scale, folded=False,
-                                     update_stats=True,
-                                     mutable=['batch_stats'])
+            (yu, _, _), mut = mod.apply(v, x, in_scale, folded=False,
+                                        update_stats=True,
+                                        mutable=['batch_stats'])
             return yu, {**v, 'batch_stats': mut['batch_stats']}
 
         # drive running stats toward batch stats
         for _ in range(60):
             yu, v = step(v)
-        (yf, _), _ = mod.apply(v, x, in_scale, folded=True,
-                               mutable=['batch_stats'])
+        (yf, _, _), _ = mod.apply(v, x, in_scale, folded=True,
+                                  mutable=['batch_stats'])
         corr = np.corrcoef(np.asarray(yu).ravel(), np.asarray(yf).ravel())[0, 1]
         assert corr > 0.99
 

@@ -1,0 +1,82 @@
+"""Trainer-integrated SPMD training over the virtual 8-device mesh.
+
+The reference's distributed story is DDP + DistributedSampler + NCCL
+(/root/reference/quant_train.py:190-223, 320-360) with a documented pitfall:
+multi-GPU BN/range stats diverge across replicas and break bit-exact
+deployment (model_zoo.md:70).  Here the Trainer itself builds the mesh,
+shards every batch over 'data', and computes statistics on the logical
+global batch — these tests pin down that (a) the mesh path runs end-to-end
+through Trainer.run, (b) quant/BN statistics stay replicated and identical
+to a single-device run on the same data, (c) the dp×tp (model_parallel)
+variant trains.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hawq_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def _cfg(tmp, **kw):
+    base = dict(arch='tiny18', scheme='uniform8', num_classes=10,
+                image_size=32, batch_size=8, epochs=1, lr=1e-3,
+                calib_batches=2, steps_per_epoch=3, eval_batches=2,
+                save_path=str(tmp))
+    base.update(kw)
+    return TrainerConfig(**base)
+
+
+def test_trainer_uses_mesh_and_matches_single_device(tmp_path):
+    assert len(jax.devices()) == 8, 'conftest must expose 8 virtual devices'
+
+    t_mesh = Trainer(_cfg(tmp_path / 'mesh', use_mesh=True))
+    assert t_mesh.mesh is not None and t_mesh.mesh.shape['data'] == 8
+    t_one = Trainer(_cfg(tmp_path / 'one', use_mesh=False))
+    assert t_one.mesh is None
+
+    for t in (t_mesh, t_one):
+        t.calibrate()
+        t.train_epoch(0)
+
+    # statistics computed on the global batch must match the single-device
+    # run on the same data (min/max exactly; BN sums to reduction-order ulps)
+    qs_m = jax.tree.map(np.asarray, t_mesh.state.quant_stats)
+    qs_1 = jax.tree.map(np.asarray, t_one.state.quant_stats)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                         atol=1e-6),
+                 qs_m, qs_1)
+    bs_m = jax.tree.map(np.asarray, t_mesh.state.batch_stats)
+    bs_1 = jax.tree.map(np.asarray, t_one.state.batch_stats)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
+                                                         atol=1e-5),
+                 bs_m, bs_1)
+
+    # every stat leaf must be fully replicated across the mesh
+    def assert_replicated(x):
+        if isinstance(x, jax.Array):
+            assert x.sharding.is_fully_replicated, x.sharding
+    jax.tree.map(assert_replicated, t_mesh.state.quant_stats)
+    jax.tree.map(assert_replicated, t_mesh.state.params)
+
+    acc = t_mesh.evaluate()
+    assert 0.0 <= acc <= 1.0
+
+
+def test_trainer_model_parallel_head(tmp_path):
+    """dp×tp: 4-way data, 2-way tensor sharding of the classifier head."""
+    t = Trainer(_cfg(tmp_path, use_mesh=True, model_parallel=2))
+    assert dict(t.mesh.shape) == {'data': 4, 'model': 2}
+    kernel = t.state.params['quant_output']['kernel']
+    assert not kernel.sharding.is_fully_replicated   # tensor-sharded
+    t.calibrate()
+    t.train_epoch(0)
+    assert np.isfinite(float(t.state.step))
+
+
+def test_trainer_kd_random_teacher_warns(tmp_path):
+    # basicConfig(force=True) owns the handlers, so check the log file
+    Trainer(_cfg(tmp_path, distill_alpha=0.9))
+    log = (tmp_path / 'log.log').read_text()
+    assert 'randomly initialized' in log
