@@ -1,0 +1,376 @@
+"""QONNX-style ONNX emission of the frozen integer graph + replay validator.
+
+The reference exports trained HAWQ models to ONNX files with custom
+quantization ops in their own domain for FPGA toolchains
+(/root/reference/utils/export/manager.py:111-142 two-pass export, custom
+domain 'hawq2qonnx'; function.py:8-141 Quant/Trunc symbolic ops).  This
+module is the TPU framework's equivalent: it serializes a FrozenModel
+(inference/freeze.py) into a real ONNX protobuf — wire-compatible with stock
+onnx tooling via the transcribed schema subset (onnx_subset.proto) since the
+`onnx` package is not available in this environment — and ships a replay
+interpreter that executes the emitted integer graph and must reproduce the
+engine's logits bit-for-bit (the exporter's correctness test).
+
+Dialect (domain 'hawq2qonnx', mirroring the reference's custom domain):
+  Quant(x, scale)        attrs bitwidth, signed     → clip(round_half_up(x/scale))
+                         (integer-valued output; the input-quantization node)
+  Requant(x, mult)       attrs bits, signed, relu   → clip(floor(x·mult + 0.5))
+                         (the dyadic requant; mult = m·2⁻ᵉ exact f32)
+  RequantAdd(a, ma, b, mb)                           → ⌊a·ma+0.5⌋ + ⌊b·mb+0.5⌋
+                         (dual-scale residual add, unclamped like the engine)
+  Trunc(x)               attr eps                   → trunc(x + eps)
+                         (integer average-pool division, quant_utils.py:324)
+Standard-domain ops: Conv (int8 weight + int32 bias initializers), Relu,
+Clip, MaxPool, GlobalAveragePool, Reshape, MatMul, Add, Mul.
+
+All activation tensors are integer-valued; the requant multiplies replay in
+float32 (matching the engine's VPU arithmetic exactly), the convolutions in
+int64 (exact).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from hawq_tpu.configs.bit_config import (RESNET_UNITS, RESNET_CONVS_PER_UNIT)
+from hawq_tpu.inference.freeze import FrozenModel
+
+from hawq_tpu.export import onnx_subset_pb2 as P
+
+QDOMAIN = 'hawq2qonnx'
+
+
+# ---------------------------------------------------------------------------
+# graph builder
+# ---------------------------------------------------------------------------
+
+class _Builder:
+    def __init__(self, name: str):
+        self.model = P.ModelProto(ir_version=8, producer_name='hawq_tpu',
+                                  producer_version='0.2')
+        self.model.opset_import.add(domain='', version=13)
+        self.model.opset_import.add(domain=QDOMAIN, version=1)
+        self.g = self.model.graph
+        self.g.name = name
+        self._n = 0
+
+    def init_tensor(self, name: str, arr: np.ndarray) -> str:
+        t = self.g.initializer.add()
+        t.name = name
+        t.dims.extend(arr.shape)
+        if arr.dtype == np.int8:
+            t.data_type = P.TensorProto.INT8
+        elif arr.dtype == np.int32:
+            t.data_type = P.TensorProto.INT32
+        elif arr.dtype == np.float32:
+            t.data_type = P.TensorProto.FLOAT
+        else:
+            raise TypeError(arr.dtype)
+        t.raw_data = np.ascontiguousarray(arr).tobytes()
+        return name
+
+    def node(self, op: str, inputs: List[str], domain: str = '',
+             name: str = None, **attrs) -> str:
+        self._n += 1
+        out = f'{op.lower()}_{self._n}'
+        n = self.g.node.add()
+        n.op_type = op
+        n.domain = domain
+        n.name = name or out
+        n.input.extend(inputs)
+        n.output.append(out)
+        for k, v in attrs.items():
+            a = n.attribute.add()
+            a.name = k
+            if isinstance(v, float):
+                a.type = P.AttributeProto.FLOAT
+                a.f = v
+            elif isinstance(v, int):
+                a.type = P.AttributeProto.INT
+                a.i = v
+            elif isinstance(v, str):
+                a.type = P.AttributeProto.STRING
+                a.s = v.encode()
+            elif isinstance(v, (list, tuple)):
+                a.type = P.AttributeProto.INTS
+                a.ints.extend(int(x) for x in v)
+            else:
+                raise TypeError((k, v))
+        return out
+
+    def io(self, coll, name: str, shape, elem=P.TensorProto.FLOAT):
+        vi = coll.add()
+        vi.name = name
+        vi.type.tensor_type.elem_type = elem
+        for d in shape:
+            dim = vi.type.tensor_type.shape.dim.add()
+            if isinstance(d, int):
+                dim.dim_value = d
+            else:
+                dim.dim_param = d
+
+
+def export_qonnx_resnet(fm: FrozenModel, path: str, image_size: int = 224
+                        ) -> None:
+    """Serialize the frozen ResNet integer graph as an ONNX file.
+
+    Mirrors inference/engine.py's build_resnet_engine graph construction
+    (same dyadic multipliers, same op order) so the replayed file is
+    bit-equal to the engine.
+    """
+    from hawq_tpu.inference.engine import _np_dyadic_multiplier
+
+    arch, cfg = fm.arch, fm.cfg
+    bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+    conv1_stride = arch == 'resnet50'
+    init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
+
+    b = _Builder(f'{arch}_{cfg.name}')
+    b.io(b.g.input, 'image', ('N', image_size, image_size, 3))
+
+    def act_info(key):
+        return (float(fm.act_scale(key)), cfg.act_bits(key),
+                int(cfg.act_mode(key) == 'symmetric'))
+
+    def mult_init(name, acc_scale, out_scale):
+        ratio = (np.asarray(acc_scale, np.float32)
+                 / np.float32(out_scale)).astype(np.float32)
+        return b.init_tensor(name, np.atleast_1d(
+            _np_dyadic_multiplier(ratio)))
+
+    def conv(x, key, strides, pads):
+        """Conv (HWIO weights, NHWC data — channels-last QONNX dialect, the
+        layout the reference's to_channels_last pass produces) + int32 bias."""
+        w = np.asarray(fm[key + '.weight_int'], np.int8)      # HWIO
+        bias = np.asarray(fm[key + '.bias_int'], np.int32)
+        wi = b.init_tensor(key + '.weight', w)
+        bi = b.init_tensor(key + '.bias', bias)
+        out = b.node('Conv', [x, wi, bi], name=key,
+                     kernel_shape=w.shape[:2], strides=strides, pads=pads,
+                     group=1)
+        return out
+
+    s_in, _, _ = act_info('quant_input')
+    si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
+    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+
+    # init block
+    w_scale = fm[init_key + '.weight_scale'].astype(np.float32)
+    acc = conv(x, init_key, (2, 2), (3, 3, 3, 3))
+    s16, b16, sg16 = act_info('quant_act_int32')
+    m = mult_init('init.mult', w_scale * np.float32(s_in), s16)
+    x = b.node('Requant', [acc, m], domain=QDOMAIN, bits=b16, signed=sg16)
+    x = b.node('Relu', [x])
+    x = b.node('MaxPool', [x], kernel_shape=(3, 3), strides=(2, 2),
+               pads=(1, 1, 1, 1))
+    prev_scale = np.float32(s16)
+
+    for si_, n_units in enumerate(RESNET_UNITS[arch], start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{si_}.unit{u}'
+            stride = 2 if (u == 1 and si_ > 1) else 1
+            has_id = f'{p}.quant_identity_convbn.weight_int' in fm.tensors
+
+            sa, ba, sga = act_info(f'{p}.quant_act')
+            m = mult_init(f'{p}.in.mult', prev_scale, sa)
+            xa = b.node('Requant', [x, m], domain=QDOMAIN, bits=ba,
+                        signed=sga)
+
+            if has_id:
+                id_key = f'{p}.quant_identity_convbn'
+                id_acc = conv(xa, id_key, (stride, stride), (0, 0, 0, 0))
+                id_scale = (fm[id_key + '.weight_scale'].astype(np.float32)
+                            * np.float32(sa))
+            else:
+                id_acc = x
+                id_scale = prev_scale
+
+            s1 = (stride, stride) if (bottleneck and conv1_stride) else \
+                ((1, 1) if bottleneck else (stride, stride))
+            s2 = (1, 1) if (bottleneck and conv1_stride) else \
+                ((stride, stride) if bottleneck else (1, 1))
+
+            key1 = f'{p}.quant_convbn1'
+            pad1 = (0, 0, 0, 0) if bottleneck else (1, 1, 1, 1)
+            acc = conv(xa, key1, s1, pad1)
+            acc = b.node('Relu', [acc])
+            acc_scale = (fm[key1 + '.weight_scale'].astype(np.float32)
+                         * np.float32(sa))
+            sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
+            m = mult_init(f'{p}.a1.mult', acc_scale, sa1)
+            h = b.node('Requant', [acc, m], domain=QDOMAIN, bits=ba1,
+                       signed=sg1)
+
+            key2 = f'{p}.quant_convbn2'
+            acc = conv(h, key2, s2, (1, 1, 1, 1))
+            acc_scale = (fm[key2 + '.weight_scale'].astype(np.float32)
+                         * np.float32(sa1))
+
+            if bottleneck:
+                acc = b.node('Relu', [acc])
+                sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
+                m = mult_init(f'{p}.a2.mult', acc_scale, sa2)
+                h = b.node('Requant', [acc, m], domain=QDOMAIN, bits=ba2,
+                           signed=sg2)
+                key3 = f'{p}.quant_convbn3'
+                acc = conv(h, key3, (1, 1), (0, 0, 0, 0))
+                acc_scale = (fm[key3 + '.weight_scale'].astype(np.float32)
+                             * np.float32(sa2))
+
+            s_out, _, _ = act_info(f'{p}.quant_act_int32')
+            mm = mult_init(f'{p}.res_main.mult', acc_scale, s_out)
+            mi = mult_init(f'{p}.res_id.mult', id_scale, s_out)
+            x = b.node('RequantAdd', [acc, mm, id_acc, mi], domain=QDOMAIN)
+            x = b.node('Relu', [x])
+            prev_scale = np.float32(s_out)
+
+    x = b.node('GlobalAveragePool', [x])
+    x = b.node('Trunc', [x], domain=QDOMAIN, eps=0.01)
+    s_fc, b_fc, sg_fc = act_info('quant_act_output')
+    m = mult_init('fc_in.mult', prev_scale, s_fc)
+    f8 = b.node('Requant', [x, m], domain=QDOMAIN, bits=b_fc, signed=sg_fc)
+
+    wfc = b.init_tensor('quant_output.weight',
+                        np.asarray(fm['quant_output.weight_int'], np.int8))
+    bfc = b.init_tensor('quant_output.bias',
+                        np.asarray(fm['quant_output.bias_int'], np.int32))
+    acc = b.node('MatMul', [f8, wfc])
+    acc = b.node('Add', [acc, bfc])
+    out_scale = (fm['quant_output.weight_scale'].astype(np.float32)
+                 * np.float32(s_fc))
+    so = b.init_tensor('output.scale', np.atleast_1d(out_scale))
+    logits = b.node('Mul', [acc, so], name='logits')
+    b.io(b.g.output, logits, ('N', fm['quant_output.weight_int'].shape[1]))
+
+    with open(path, 'wb') as f:
+        f.write(b.model.SerializeToString())
+
+
+# ---------------------------------------------------------------------------
+# replay interpreter
+# ---------------------------------------------------------------------------
+
+def _tensor_to_np(t) -> np.ndarray:
+    dt = {P.TensorProto.FLOAT: np.float32, P.TensorProto.INT8: np.int8,
+          P.TensorProto.INT32: np.int32, P.TensorProto.INT64: np.int64}[
+              t.data_type]
+    return np.frombuffer(t.raw_data, dt).reshape(tuple(t.dims)).copy()
+
+
+def load_qonnx(path: str):
+    m = P.ModelProto()
+    with open(path, 'rb') as f:
+        m.ParseFromString(f.read())
+    return m
+
+
+def _conv_int(x: np.ndarray, w: np.ndarray, bias: np.ndarray, strides, pads
+              ) -> np.ndarray:
+    """Exact int64 NHWC/HWIO convolution (im2col, small models only)."""
+    x = x.astype(np.int64)
+    w = w.astype(np.int64)
+    kh, kw, cin, cout = w.shape
+    ph0, pw0, ph1, pw1 = pads
+    xp = np.pad(x, ((0, 0), (ph0, ph1), (pw0, pw1), (0, 0)))
+    bsz, hp, wp, _ = xp.shape
+    ho = (hp - kh) // strides[0] + 1
+    wo = (wp - kw) // strides[1] + 1
+    cols = np.empty((bsz, ho, wo, kh * kw * cin), np.int64)
+    for dy in range(kh):
+        for dx in range(kw):
+            piece = xp[:, dy:dy + ho * strides[0]:strides[0],
+                       dx:dx + wo * strides[1]:strides[1], :]
+            cols[..., (dy * kw + dx) * cin:(dy * kw + dx + 1) * cin] = piece
+    out = cols.reshape(-1, kh * kw * cin) @ w.reshape(kh * kw * cin, cout)
+    return out.reshape(bsz, ho, wo, cout) + bias.astype(np.int64)
+
+
+def _requant_np(acc: np.ndarray, mult: np.ndarray, bits: int, signed: int
+                ) -> np.ndarray:
+    """float32 mirror of the engine's requant_int32 (quant/ops.py)."""
+    out = np.floor(acc.astype(np.float32) * mult.astype(np.float32)
+                   + np.float32(0.5))
+    if signed:
+        q = 2 ** (bits - 1) - 1
+        return np.clip(out, -q - 1, q).astype(np.int64)
+    return np.clip(out, 0, 2 ** bits - 1).astype(np.int64)
+
+
+def replay_qonnx(model, image: np.ndarray) -> np.ndarray:
+    """Execute the emitted integer graph; must be bit-equal to the engine."""
+    g = model.graph
+    env: Dict[str, np.ndarray] = {g.input[0].name: image}
+    for t in g.initializer:
+        env[t.name] = _tensor_to_np(t)
+
+    def attrs(n):
+        out = {}
+        for a in n.attribute:
+            if a.type == P.AttributeProto.INT:
+                out[a.name] = int(a.i)
+            elif a.type == P.AttributeProto.FLOAT:
+                out[a.name] = float(a.f)
+            elif a.type == P.AttributeProto.INTS:
+                out[a.name] = tuple(a.ints)
+            elif a.type == P.AttributeProto.STRING:
+                out[a.name] = a.s.decode()
+        return out
+
+    for n in g.node:
+        ins = [env[i] for i in n.input]
+        at = attrs(n)
+        op = n.op_type
+        if op == 'Quant':
+            x, scale = ins
+            q = np.floor(x.astype(np.float32) / scale.astype(np.float32)
+                         + np.float32(0.5))
+            hi = 2 ** (at['bitwidth'] - 1) - 1
+            out = np.clip(q, -hi - 1, hi).astype(np.int64)
+        elif op == 'Conv':
+            out = _conv_int(ins[0], ins[1], ins[2], at['strides'], at['pads'])
+        elif op == 'Requant':
+            out = _requant_np(ins[0], ins[1], at['bits'], at['signed'])
+        elif op == 'RequantAdd':
+            a_ = np.floor(ins[0].astype(np.float32)
+                          * ins[1].astype(np.float32) + np.float32(0.5))
+            b_ = np.floor(ins[2].astype(np.float32)
+                          * ins[3].astype(np.float32) + np.float32(0.5))
+            out = (a_ + b_).astype(np.int64)
+        elif op == 'Relu':
+            out = np.maximum(ins[0], 0)
+        elif op == 'MaxPool':
+            x = ins[0]
+            kh, kw = at['kernel_shape']
+            sh, sw = at['strides']
+            p = at['pads']
+            xmin = np.iinfo(np.int64).min
+            xp = np.pad(x, ((0, 0), (p[0], p[2]), (p[1], p[3]), (0, 0)),
+                        constant_values=xmin)
+            ho = (xp.shape[1] - kh) // sh + 1
+            wo = (xp.shape[2] - kw) // sw + 1
+            out = np.full((x.shape[0], ho, wo, x.shape[3]), xmin, np.int64)
+            for dy in range(kh):
+                for dx in range(kw):
+                    out = np.maximum(
+                        out, xp[:, dy:dy + ho * sh:sh, dx:dx + wo * sw:sw, :])
+        elif op == 'GlobalAveragePool':
+            # exact rational mean of ints (sum exact in int64, then f64 div)
+            out = (ins[0].sum(axis=(1, 2), dtype=np.int64)
+                   / (ins[0].shape[1] * ins[0].shape[2]))
+        elif op == 'Trunc':
+            out = np.trunc(ins[0].astype(np.float32)
+                           + np.float32(at['eps'])).astype(np.int64)
+        elif op == 'MatMul':
+            out = ins[0].astype(np.int64) @ ins[1].astype(np.int64)
+        elif op == 'Add':
+            out = ins[0] + ins[1].astype(ins[0].dtype)
+        elif op == 'Mul':
+            out = (ins[0].astype(np.float32)
+                   * ins[1].astype(np.float32)).astype(np.float32)
+        else:
+            raise NotImplementedError(op)
+        env[n.output[0]] = out
+    return env[g.output[0].name]

@@ -171,6 +171,46 @@ def resnet_layer_costs(arch: str, params: Mapping, traces: Mapping[str, float],
     return layers
 
 
+def published_ilp_inputs(arch: str) -> List[LayerCost]:
+    """LayerCost list from the reference's published measured arrays.
+
+    The arrays (Hutchinson traces, ‖W−Q(W)‖², params, BOPS, T4 latency LUT)
+    are the hard-coded inputs of ILP.ipynb cells 4/17, shipped as data in
+    configs/data/ilp_inputs_<arch>.json.  Index order matches the notebook's
+    variable numbering: per unit conv1..convN then the identity conv (its
+    tie constraints x4==x6 / x0==x3 etc. confirm this order).  Running
+    :func:`allocate_bits` on these inputs must regenerate the published
+    mixed configs — the SURVEY §7 stage-6 validation.
+    """
+    import json as _json
+    import os as _os
+    path = _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), 'configs', 'data',
+        f'ilp_inputs_{arch}.json')
+    with open(path) as f:
+        d = _json.load(f)
+
+    n_convs = RESNET_CONVS_PER_UNIT[arch]
+    keys: List[Tuple[str, Optional[str]]] = []
+    for s, n_units in enumerate(RESNET_UNITS[arch], start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{s}.unit{u}'
+            for c in range(1, n_convs + 1):
+                keys.append((f'{p}.quant_convbn{c}', None))
+            # stage-opening units resize the identity (stage 1 too for
+            # bottleneck nets; never for basic-block stage 1)
+            if u == 1 and not (n_convs == 2 and s == 1):
+                keys.append((f'{p}.quant_identity_convbn',
+                             f'{p}.quant_convbn1'))
+    assert len(keys) == len(d['trace']), (len(keys), len(d['trace']))
+
+    return [LayerCost(key=k, trace=d['trace'][i], delta_w4=d['dw4'][i],
+                      delta_w8=d['dw8'][i], params=d['params'][i],
+                      macs=d['bops'][i], latency4=d['lat4'][i],
+                      latency8=d['lat8'][i], tie_to=tie)
+            for i, (k, tie) in enumerate(keys)]
+
+
 def allocation_to_bit_config(arch: str, alloc: AllocationResult,
                              scheme_name: str) -> BitConfig:
     """Expand conv bit choices into a full BitConfig: activations follow the

@@ -180,3 +180,31 @@ class TestData:
                                image_size=32, eval_resize=36,
                                process_index=0, process_count=2)
         assert len(list(h0.epoch())) == 2   # 5 images → 2 full batches
+
+
+def test_ilp_regenerates_published_configs():
+    """SURVEY §7 stage 6: on the reference's own measured inputs
+    (ILP.ipynb cells 4/17), the allocator must reproduce the published
+    mixed-precision tables (ties excepted — ≥98% per-layer agreement,
+    and exact on the canonical bops_0.5 / latency_0.5 configs)."""
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.sensitivity.ilp import allocate_bits, published_ilp_inputs
+
+    for arch in ('resnet18', 'resnet50'):
+        layers = published_ilp_inputs(arch)
+        for mode_name, mode in (('modelsize', 'model_size'),
+                                ('bops', 'bops'), ('latency', 'latency')):
+            for frac in (0.25, 0.5, 0.75):
+                alloc = allocate_bits(layers, mode, frac)
+                pub = get_bit_config(arch, f'{mode_name}_{frac}')
+                total = agree = 0
+                for lc in layers:
+                    want = pub.table.get(lc.key)
+                    if want is None:
+                        continue
+                    total += 1
+                    agree += int(alloc.bits[lc.key] == int(want))
+                assert agree >= 0.98 * total, (arch, mode_name, frac,
+                                               agree, total)
+                if frac == 0.5:
+                    assert agree == total, (arch, mode_name, agree, total)
