@@ -145,6 +145,42 @@ def uniform_config(arch: str, bits: int) -> BitConfig:
     return BitConfig(name=f'{arch}_uniform{bits}', table=table)
 
 
+def resnet_v2_layer_keys(base: str) -> Iterator[str]:
+    """Config keys of a pre-activation (v2) quantized ResNet, graph order
+    (models/resnet_v2.py; reference quantized_resnet_v2.py naming analog)."""
+    units = RESNET_UNITS[base]
+    n_convs = RESNET_CONVS_PER_UNIT[base]
+    yield 'quant_input'
+    yield 'quant_init_conv'
+    yield 'quant_act_int32'
+    for s, n_units in enumerate(units, start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{s}.unit{u}'
+            yield f'{p}.quant_act'           # the qbn1 output quantizer
+            for c in range(1, n_convs + 1):
+                yield f'{p}.quant_conv{c}'
+                if c < n_convs:
+                    yield f'{p}.quant_act{c}'
+            if u == 1 and not (n_convs == 2 and s == 1):
+                yield f'{p}.quant_identity_conv'
+            yield f'{p}.quant_act_int32'
+    yield 'quant_act_output'
+    yield 'quant_output'
+
+
+def uniform_config_v2(base: str, bits: int) -> BitConfig:
+    table: Dict[str, int] = {}
+    for key in resnet_v2_layer_keys(base):
+        if key.endswith('quant_act_int32'):
+            table[key] = 16
+        elif key in ('quant_input', 'quant_init_conv', 'quant_act_output',
+                     'quant_output'):
+            table[key] = 8
+        else:
+            table[key] = bits
+    return BitConfig(name=f'{base}v2_uniform{bits}', table=table)
+
+
 def _load_mixed(name: str) -> Optional[BitConfig]:
     path = os.path.join(_DATA_DIR, name + '.json')
     if not os.path.exists(path):
@@ -156,6 +192,8 @@ def _load_mixed(name: str) -> Optional[BitConfig]:
 def get_bit_config(arch: str, scheme: str) -> BitConfig:
     """Lookup: e.g. get_bit_config('resnet50', 'uniform8' | 'bops_0.5' | ...)."""
     if scheme.startswith('uniform'):
+        if arch.endswith('v2'):
+            return uniform_config_v2(arch[:-2], int(scheme[len('uniform'):]))
         return uniform_config(arch, int(scheme[len('uniform'):]))
     cfg = _load_mixed(f'{arch}_{scheme}')
     if cfg is None:

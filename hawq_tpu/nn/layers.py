@@ -416,6 +416,101 @@ class QuantLinear(nn.Module):
         return acc * bias_scale
 
 
+class QuantBnAct(nn.Module):
+    """Standalone integer batch-norm + requantization (pre-activation nets).
+
+    Parity target: the v2 deployment graph's explicit quantized_batchnorm
+    (int mul + add) followed by relu + requantize
+    (/root/reference/tvm_benchmark/mixed_precision_models/
+    quantized_resnet_v2.py:42-57, layers.py:142-156).  Pre-activation units
+    apply BN to the residual *stream*, which feeds both the shortcut and the
+    convs, so it cannot fold into any conv — it must run as its own integer
+    op.  Canonical integer semantics (shared verbatim by the engine):
+
+        A  = in_scale · γ/√(σ²+ε)          (per channel, f32)
+        b1 = round_half_up((β − μ·γ/√(σ²+ε)) / s_out)
+        y  = clip(round_half_up(x_int · dyadic(A / s_out)) + b1)
+
+    i.e. one dyadic requant plus an integer offset.  ``relu`` clamps the low
+    end at 0 (applied after the BN affine, before the clip — exact because
+    the offset+clip order matches the engine).  Unfolded mode (early QAT)
+    runs float batch-stats BN on the value tensor instead.
+    """
+    features: int
+    bits: int = 8
+    momentum: float = 0.99
+    quant_mode: str = 'symmetric'
+    relu: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.99
+
+    @nn.compact
+    def __call__(self, x, in_scale, *, x_int=None, folded: bool = True,
+                 update_stats: bool = False):
+        gamma = self.param('gamma', nn.initializers.ones, (self.features,))
+        beta = self.param('beta', nn.initializers.zeros, (self.features,))
+        running_mean = self.variable('batch_stats', 'mean',
+                                     lambda: jnp.zeros((self.features,)))
+        running_var = self.variable('batch_stats', 'var',
+                                    lambda: jnp.ones((self.features,)))
+        x_min = self.variable('quant_stats', 'x_min',
+                              lambda: jnp.zeros((), jnp.float32))
+        x_max = self.variable('quant_stats', 'x_max',
+                              lambda: jnp.zeros((), jnp.float32))
+
+        if not folded:
+            batch_mean = jnp.mean(x, axis=(0, 1, 2))
+            batch_var = jnp.var(x, axis=(0, 1, 2), ddof=1)
+            if update_stats:
+                running_mean.value = (running_mean.value * self.bn_momentum
+                                      + batch_mean * (1 - self.bn_momentum))
+                running_var.value = (running_var.value * self.bn_momentum
+                                     + batch_var * (1 - self.bn_momentum))
+            bn_factor = gamma / jnp.sqrt(batch_var + self.bn_eps)
+            y = (x - batch_mean) * bn_factor + beta
+        else:
+            bn_factor = gamma / jnp.sqrt(running_var.value + self.bn_eps)
+            if x_int is None:
+                x_int = qops.ste_recover_int(x, in_scale)
+            y = x_int * (in_scale * bn_factor) \
+                + (beta - running_mean.value * bn_factor)
+        if self.relu:
+            y = nn.relu(y)
+
+        if update_stats:
+            cur_min, cur_max = jnp.min(y), jnp.max(y)
+            uninit = x_min.value == x_max.value
+            new_min = x_min.value * self.momentum + cur_min * (1 - self.momentum)
+            new_max = x_max.value * self.momentum + cur_max * (1 - self.momentum)
+            x_min.value = jnp.where(uninit, cur_min, new_min)
+            x_max.value = jnp.where(uninit, cur_max, new_max)
+
+        signed = self.quant_mode == 'symmetric'
+        if signed:
+            scale = qops.symmetric_quant_scale(self.bits, x_min.value,
+                                               x_max.value)
+        else:
+            scale = qops.asymmetric_quant_scale(self.bits, x_min.value,
+                                                x_max.value)
+
+        if not folded:
+            q = (qops.quantize_symmetric(y, scale, self.bits) if signed
+                 else qops.quantize_asymmetric(y, scale, self.bits))
+            self.sow('intermediates', 'q_int', q)
+            return q * scale, scale
+
+        # folded: pure-integer BN affine + requant, engine-identical
+        a_scale = in_scale * bn_factor
+        b1 = qops.ste_round((beta - running_mean.value * bn_factor) / scale)
+        q = qops.requant_core_ste(x_int, a_scale, scale, None, signed) + b1
+        if self.relu:
+            q = jnp.maximum(q, 0.0)
+        lo, hi = qops.requant_clip_bounds(self.bits, signed)
+        q = jnp.clip(q, lo, hi)
+        self.sow('intermediates', 'q_int', q)
+        return q * scale, scale
+
+
 # ---------------------------------------------------------------------------
 # Pooling
 # ---------------------------------------------------------------------------
