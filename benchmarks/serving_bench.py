@@ -59,26 +59,30 @@ def main(n_requests: int = 256):
         print(f'{n_dev}-device sharded  : {tput:10.0f} img/s '
               f'(efficiency {results["scaling_efficiency"]:.2f})', flush=True)
 
-    # dynamic batcher (request-level, includes host overhead)
+    # dynamic batcher (request-level, includes host overhead), swept over
+    # pipeline depth — depth>1 throughput exceeding depth=1 is the direct
+    # evidence that logit fetch overlaps the next batch's compute
     serving1 = ServingEngine(engine, n_devices=1, batch_size=batch,
                              image_dtype=np.uint8)
-    batcher = serving1.batcher(max_delay_ms=10, depth=4)
-    try:
-        images = rng.randint(0, 256, (n_requests, 224, 224, 3),
-                             dtype=np.uint8)
-        # warm up: compile the sharded engine + fill the pipeline once
-        for s in [batcher.submit(images[i]) for i in range(batch)]:
-            s.get(timeout=300)
-        t0 = time.perf_counter()
-        slots = [batcher.submit(images[i]) for i in range(n_requests)]
-        for s in slots:
-            s.get(timeout=300)
-        dt = time.perf_counter() - t0
-        results['batcher_img_per_sec'] = n_requests / dt
-        print(f'dynamic batcher     : {n_requests/dt:10.0f} img/s '
-              f'({n_requests} requests)', flush=True)
-    finally:
-        batcher.close()
+    images = rng.randint(0, 256, (n_requests, 224, 224, 3), dtype=np.uint8)
+    for depth in (1, 2, 4):
+        batcher = serving1.batcher(max_delay_ms=10, depth=depth)
+        try:
+            # warm up: compile the sharded engine + fill the pipeline once
+            for s in [batcher.submit(images[i]) for i in range(batch)]:
+                s.get(timeout=300)
+            t0 = time.perf_counter()
+            slots = [batcher.submit(images[i]) for i in range(n_requests)]
+            for s in slots:
+                s.get(timeout=300)
+            dt = time.perf_counter() - t0
+            results[f'batcher_depth{depth}_img_per_sec'] = n_requests / dt
+            print(f'dynamic batcher d={depth} : {n_requests/dt:10.0f} img/s '
+                  f'({n_requests} requests)', flush=True)
+        finally:
+            batcher.close()
+    results['overlap_gain'] = (results['batcher_depth4_img_per_sec']
+                               / results['batcher_depth1_img_per_sec'])
 
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
 

@@ -46,10 +46,14 @@ RESNET_UNITS = {
     'resnet101': (3, 4, 23, 3),
     'tiny18': (1, 2),
     'tiny50': (1, 2),
+    # wide50: MXU-aligned channels at tiny depth — exercises the pallas
+    # conv-kernel routing (requires C%128==0) on the CPU test budget
+    'wide50': (1, 1),
 }
 # Basic blocks have 2 convs, bottlenecks 3.
 RESNET_CONVS_PER_UNIT = {'resnet18': 2, 'resnet50': 3, 'resnet50b': 3,
-                         'resnet101': 3, 'tiny18': 2, 'tiny50': 3}
+                         'resnet101': 3, 'tiny18': 2, 'tiny50': 3,
+                         'wide50': 3}
 
 
 @dataclasses.dataclass(frozen=True)

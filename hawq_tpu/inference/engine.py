@@ -149,7 +149,9 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         use_pallas = True
     if use_pallas:
         from hawq_tpu.kernels import matmul as km
+        from hawq_tpu.kernels import conv as kc
         packed_weights = {}
+        conv_weights = {}
 
         def pallas_weights(key: str):
             if key not in packed_weights:
@@ -163,12 +165,59 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                     packed_weights[key] = (w2d, False)
             return packed_weights[key]
 
+        def conv_kernel_weights(key: str, stride: int):
+            """Flattened (and for W4, per-tap nibble-packed) conv weights;
+            stride-2 kernels are space-to-depth transformed."""
+            ck = (key, stride)
+            if ck not in conv_weights:
+                w = np.asarray(fm[key + '.weight_int'])
+                if stride == 2:
+                    w = kc.s2d_kernel(w)
+                taps = (w.shape[0], w.shape[1])
+                wf = kc.flatten_conv_kernel(w)
+                want4 = (cfg.weight_bits(key) == 4 and
+                         (routing is None or routing.get(key) == 'pallas4w'))
+                if want4:
+                    conv_weights[ck] = (kc.pack_int4_conv(
+                        wf, taps[0] * taps[1]), taps, w.shape[2], True)
+                else:
+                    conv_weights[ck] = (wf, taps, w.shape[2], False)
+            return conv_weights[ck]
+
         def pallas_routable(key: str, kh: int, kw: int, cin: int,
                             cout: int) -> bool:
-            ok = (kh == 1 and kw == 1 and cin % 128 == 0 and cout % 128 == 0)
+            ok1x1 = (kh == 1 and kw == 1 and cin % 128 == 0
+                     and cout % 128 == 0)
+            # 3×3: the conv kernel needs lane-aligned per-tap slices
+            # (cin % 128; after the stride-2 s2d rewrite cin → 4·cin)
+            ok3x3 = (kh == 3 and kw == 3 and cin % 128 == 0
+                     and cout % 128 == 0)
+            ok = ok1x1 or ok3x3
             if routing is not None:
                 return ok and routing.get(key, 'xla') != 'xla'
             return ok
+
+        def pallas_conv3x3(x8, key, stride, mult, out_bits, signed, relu,
+                           acc_only=False):
+            b, h, w_, c = x8.shape
+            if stride == 2:
+                x8 = kc.s2d_input(x8, 1)
+                oh, ow = kc.s2d_output_hw(h, w_, 3, 3, 1)
+                xp = kc.prepare_conv_input(x8, (0, 0))
+            else:
+                oh, ow = h, w_
+                xp = kc.prepare_conv_input(x8, (1, 1))
+            wq, taps, cin_k, is4 = conv_kernel_weights(key, stride)
+            bias = np.asarray(fm[key + '.bias_int'])
+            if acc_only:
+                fn = kc.int4w_conv_acc if is4 else kc.int8_conv_acc
+                y = fn(xp, wq, bias, taps=taps, out_hw=(oh, ow), cin=cin_k)
+            else:
+                fn = kc.int4w_conv_requant if is4 else kc.int8_conv_requant
+                y = fn(xp, wq, bias, mult, taps=taps, out_hw=(oh, ow),
+                       cin=cin_k, out_bits=out_bits, signed=signed,
+                       relu=relu)
+            return y.reshape(b, oh, ow, y.shape[-1])
 
         def pallas_conv1x1_requant(x8, key, stride, mult, out_bits, signed,
                                    relu):
@@ -200,6 +249,20 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 y = km.int8_matmul_acc(xm, wq, bias)
             cout = y.shape[-1]
             return y[:m].reshape(b, h, w_, cout)
+
+        def pallas_conv_requant(x8, key, stride, mult, out_bits, signed,
+                                relu):
+            if fm[key + '.weight_int'].shape[0] == 1:
+                return pallas_conv1x1_requant(x8, key, stride, mult,
+                                              out_bits, signed, relu)
+            return pallas_conv3x3(x8, key, stride, mult, out_bits, signed,
+                                  relu)
+
+        def pallas_conv_acc(x8, key, stride):
+            if fm[key + '.weight_int'].shape[0] == 1:
+                return pallas_conv1x1_acc(x8, key, stride)
+            return pallas_conv3x3(x8, key, stride, None, 8, True, False,
+                                  acc_only=True)
     bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
     conv1_stride = arch == 'resnet50'
     init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
@@ -291,7 +354,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                     id_scale = (fm[id_key + '.weight_scale']
                                 .astype(np.float32) * np.float32(sa))
                     if routable(id_key):
-                        id_acc = pallas_conv1x1_acc(xa, id_key, stride)
+                        id_acc = pallas_conv_acc(xa, id_key, stride)
                     else:
                         wid, bid = plan.conv(id_key)
                         id_acc = _conv_i8(xa, wid, (stride, stride),
@@ -312,8 +375,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
                 if routable(key1):
-                    h = pallas_conv1x1_requant(xa, key1, s1[0], mult, ba1,
-                                               sg1, relu=True)
+                    h = pallas_conv_requant(xa, key1, s1[0], mult, ba1,
+                                            sg1, relu=True)
                 else:
                     w8, b32 = plan.conv(key1)
                     pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
@@ -323,17 +386,21 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 emit(f'{p}.conv1', h)
 
                 # conv2
-                w8, b32 = plan.conv(f'{p}.quant_convbn2')
-                pad2 = ((1, 1), (1, 1))
-                acc = _conv_i8(h, w8, s2, pad2) + b32
-                acc_scale = (fm[f'{p}.quant_convbn2.weight_scale']
+                key2 = f'{p}.quant_convbn2'
+                acc_scale = (fm[key2 + '.weight_scale']
                              .astype(np.float32) * np.float32(sa1))
 
                 if bottleneck:
                     sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
                     mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
-                    acc = jnp.maximum(acc, 0)
-                    h = _requant(acc, mult, ba2, sg2)
+                    if routable(key2):
+                        h = pallas_conv_requant(h, key2, s2[0], mult, ba2,
+                                                sg2, relu=True)
+                    else:
+                        w8, b32 = plan.conv(key2)
+                        acc = _conv_i8(h, w8, s2, ((1, 1), (1, 1))) + b32
+                        acc = jnp.maximum(acc, 0)
+                        h = _requant(acc, mult, ba2, sg2)
                     emit(f'{p}.conv2', h)
 
                     key3 = f'{p}.quant_convbn3'
@@ -344,6 +411,14 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                     else:
                         w8, b32 = plan.conv(key3)
                         acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
+                else:
+                    # basic block: conv2 is the unit's last conv — its raw
+                    # accumulator feeds the residual requant-add
+                    if routable(key2):
+                        acc = pallas_conv_acc(h, key2, s2[0])
+                    else:
+                        w8, b32 = plan.conv(key2)
+                        acc = _conv_i8(h, w8, s2, ((1, 1), (1, 1))) + b32
 
                 # residual requant-add at 16-bit precision
                 s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')

@@ -15,7 +15,7 @@ the concatenated tensor (QuantAct branch case, nn/layers.py).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -125,9 +125,19 @@ def freeze_inceptionv3(variables: Mapping, cfg: BitConfig,
 # engine
 # ---------------------------------------------------------------------------
 
-def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
+def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
+                             capture: Optional[str] = None):
+    """``capture`` truncates at a named node and returns its integer tensor
+    (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
+    'fc_input'."""
     cfg = fm.cfg
     plan = _Plan(fm)
+
+    captured = {}
+
+    def emit(name, value):
+        if capture is not None and name == capture:
+            captured['value'] = value
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
@@ -163,6 +173,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
         n = 2 ** (b_in - 1) - 1
         x = jnp.clip(qops.round_half_up(images / s_in), -n - 1, n
                      ).astype(jnp.int8)
+        emit('input', x)
         s = np.float32(s_in)
         strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
         pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
@@ -171,6 +182,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
             x, s = incept_conv(x, s, key, strides[c], pads[c])
             if c in (3, 5):
                 x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
+        emit('init', x)
 
         for i, j, unit in _units(cfg, width_div):
             p = unit.prefix
@@ -222,6 +234,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
                 pieces.append(r.astype(jnp.int32))
             x = jnp.concatenate(pieces, axis=-1)
             s = s_unit
+            emit(f'{p}.q_rescaling_activ', x)
 
         # head: integer global avg pool → requant → dense
         hw = x.shape[1] * x.shape[2]
@@ -229,6 +242,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
         pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01
                            ).astype(jnp.int32)
         f8, s_fc = requant_to(pooled, s, 'features.q_concat_activ', 'fc_in')
+        emit('fc_input', f8)
         w8 = np.asarray(fm['output.q_fc.weight_int'])
         b32 = np.asarray(fm['output.q_fc.bias_int'])
         acc = jax.lax.dot_general(f8, w8, (((1,), (0,)), ((), ())),
@@ -237,4 +251,11 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1):
                      * s_fc)
         return acc.astype(jnp.float32) * out_scale
 
-    return jax.jit(forward)
+    if capture is None:
+        return jax.jit(forward)
+
+    def forward_captured(images):
+        forward(images)
+        return captured['value']
+
+    return jax.jit(forward_captured)

@@ -40,8 +40,14 @@ def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
 
 
 def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
-                             residual_dtype=jnp.int32):
-    """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits."""
+                             residual_dtype=jnp.int32,
+                             capture: Optional[str] = None):
+    """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
+
+    ``capture`` truncates the graph at a named node and returns its raw
+    integer tensor (the debug-unit golden-featuremap mechanism, as in the
+    ResNet engine): 'input', 'init', '<unit>.conv1', '<unit>.conv2',
+    '<unit>.quant_act_int32', 'final', 'fc_input'."""
     cfg = fm.cfg
     plan = _Plan(fm)
     s_in = fm.act_scale('quant_input')
@@ -50,9 +56,16 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         return (float(fm.act_scale(key)), cfg.act_bits(key),
                 cfg.act_mode(key) == 'symmetric')
 
+    captured = {}
+
+    def emit(name, value):
+        if capture is not None and name == capture:
+            captured['value'] = value
+
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
                       ).astype(jnp.int8)
+        emit('input', x8)
 
         # init block: conv 3×3/s2 → relu6 → requant (16-bit node)
         w8, b32 = plan.conv('init_block')
@@ -64,6 +77,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         mult = plan.requant_mult('init_rq', acc_scale, s16)
         x = _requant(acc, mult, b16, sg16, residual_dtype)
         prev_scale = np.float32(s16)
+        emit('init', x)
 
         in_ch = w8.shape[-1]
         for i, stage in enumerate(stages, start=1):
@@ -85,6 +99,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
                 h = _requant(acc, mult, ba1, sg1)
+                emit(f'{p}.conv1', h)
 
                 # depthwise 3×3 → relu6 → requant
                 w8, b32 = plan.conv(f'{p}.conv2')
@@ -98,6 +113,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
                 mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
                 h = _requant(acc, mult, ba2, sg2)
+                emit(f'{p}.conv2', h)
 
                 # linear projection 1×1 (no activation)
                 w8, b32 = plan.conv(f'{p}.conv3')
@@ -118,6 +134,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                     x = _requant(acc, m_main, b_out, sg_out, residual_dtype)
                 prev_scale = np.float32(s_out)
                 in_ch = out_ch
+                emit(f'{p}.quant_act_int32', x)
 
         # final 1×1 block → relu6 → requant
         sa, ba, sga = act_info('quant_act_before_final_block')
@@ -131,6 +148,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         sf, bf, sgf = act_info('quant_act_int32_final')
         mult = plan.requant_mult('final_rq', acc_scale, sf)
         x = _requant(acc, mult, bf, sgf, jnp.int32)
+        emit('final', x)
 
         # integer global average pool (trunc) + output requant
         hw = x.shape[1] * x.shape[2]
@@ -140,6 +158,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         so, bo, sgo = act_info('quant_act_output')
         mult = plan.requant_mult('out_rq', np.float32(sf), so)
         f8 = _requant(pooled, mult, bo, sgo)
+        emit('fc_input', f8)
 
         # 1×1 conv head on the pooled vector = dense
         w8 = np.asarray(fm['output.weight_int'])        # (1,1,C,O)
@@ -151,4 +170,11 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                      * np.float32(so))
         return acc.astype(jnp.float32) * out_scale
 
-    return jax.jit(forward)
+    if capture is None:
+        return jax.jit(forward)
+
+    def forward_captured(images):
+        forward(images)
+        return captured['value']
+
+    return jax.jit(forward_captured)

@@ -21,11 +21,46 @@ from hawq_tpu.inference.freeze import FrozenModel
 
 
 def default_capture_points(fm: FrozenModel) -> List[str]:
+    """Per-stage truncation points for any supported engine family."""
+    if fm.arch == 'mobilenetv2':
+        from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+        points = ['init']
+        for i, stage in enumerate(MOBILENETV2_STAGES, start=1):
+            points.append(
+                f'features.stage{i}.unit{len(stage)}.quant_act_int32')
+        return points + ['final', 'fc_input']
+    if fm.arch == 'inceptionv3':
+        from hawq_tpu.models.inceptionv3 import INCEPTION_CHANNELS
+        points = ['init']
+        for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
+            points.append(
+                f'features.stage{i}.unit{len(stage)}.q_rescaling_activ')
+        return points + ['fc_input']
+    base = fm.arch[:-2] if fm.arch.endswith('v2') else fm.arch
     points = ['init']
-    for s, n_units in enumerate(RESNET_UNITS[fm.arch], start=1):
+    for s, n_units in enumerate(RESNET_UNITS[base], start=1):
         points.append(f'stage{s}.unit{n_units}.quant_act_int32')
-    points.append('fc_output')
+    points.append('fc_output' if not fm.arch.endswith('v2') else 'fc_input')
     return points
+
+
+def _engine_builder(fm: FrozenModel):
+    """Capture-capable engine builder for the model family."""
+    if fm.arch == 'mobilenetv2':
+        from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+        from hawq_tpu.inference.engine_mobilenet import \
+            build_mobilenetv2_engine
+        return lambda fm_, **kw: build_mobilenetv2_engine(
+            fm_, MOBILENETV2_STAGES, **kw)
+    if fm.arch == 'inceptionv3':
+        from hawq_tpu.inference.engine_inception import \
+            build_inceptionv3_engine
+        return build_inceptionv3_engine
+    if fm.arch.endswith('v2'):
+        from hawq_tpu.inference.engine_v2 import build_resnet_v2_engine
+        return build_resnet_v2_engine
+    from hawq_tpu.inference.engine import build_resnet_engine
+    return build_resnet_engine
 
 
 def profile_engine(fm: FrozenModel, x, points: Optional[Sequence[str]] = None,
@@ -33,13 +68,13 @@ def profile_engine(fm: FrozenModel, x, points: Optional[Sequence[str]] = None,
                    ) -> List[Tuple[str, float, float]]:
     """[(node, cumulative_s, segment_s)] for successive truncation points."""
     from bench import time_per_iter
-    from hawq_tpu.inference.engine import build_resnet_engine
+    build = _engine_builder(fm)
 
     points = list(points or default_capture_points(fm))
     out = []
     prev = 0.0
     for pt in points:
-        eng = build_resnet_engine(fm, capture=pt, **engine_kwargs)
+        eng = build(fm, capture=pt, **engine_kwargs)
         t = time_per_iter(eng, x)
         out.append((pt, t, t - prev))
         if verbose:

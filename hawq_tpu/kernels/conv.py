@@ -89,6 +89,35 @@ def prepare_conv_input(x8: jnp.ndarray, pad: Tuple[int, int]) -> jnp.ndarray:
     return x8.reshape(b, h + 2 * ph, (w + 2 * pw) * c)
 
 
+def s2d_input(x8: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Space-to-depth half of the stride-2 rewrite: pad, make even, fold
+    2×2 pixel blocks into channels → (B, ⌈(H+2p)/2⌉, ⌈(W+2p)/2⌉, 4C)."""
+    c = x8.shape[-1]
+    xp = jnp.pad(x8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    if hp % 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 0), (0, 0)))
+        hp += 1
+    if wp % 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        wp += 1
+    x2 = xp.reshape(x8.shape[0], hp // 2, 2, wp // 2, 2, c)
+    return x2.transpose(0, 1, 3, 2, 4, 5).reshape(
+        x8.shape[0], hp // 2, wp // 2, 4 * c)
+
+
+def s2d_kernel(w: np.ndarray) -> np.ndarray:
+    """Kernel half of the stride-2 rewrite: (kh, kw, C, O) → (a, b, 4C, O)
+    with the kernel zero-padded to the next even size and 2×2-folded in the
+    same (cy, cx, c) channel order as :func:`s2d_input`."""
+    kh, kw, c, o = w.shape
+    a, b2 = (kh + 2) // 2, (kw + 2) // 2
+    wpad = np.zeros((2 * a, 2 * b2, c, o), w.dtype)
+    wpad[:kh, :kw] = w
+    w2 = wpad.reshape(a, 2, b2, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
+    return w2.reshape(a, b2, 4 * c, o)
+
+
 def s2d_conv_transform(x8: jnp.ndarray, w: np.ndarray, pad: int
                        ) -> Tuple[jnp.ndarray, np.ndarray]:
     """Rewrite a stride-2 conv as a stride-1 conv via space-to-depth.
@@ -99,25 +128,7 @@ def s2d_conv_transform(x8: jnp.ndarray, w: np.ndarray, pad: int
     Generalizes the engine's 7×7 init rewrite (inference/engine.py) to any
     kernel size / padding.
     """
-    kh, kw, c, o = w.shape
-    xp = jnp.pad(x8, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    hp, wp = xp.shape[1], xp.shape[2]
-    if hp % 2:
-        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 0), (0, 0)))
-        hp += 1
-    if wp % 2:
-        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 1), (0, 0)))
-        wp += 1
-    x2 = xp.reshape(x8.shape[0], hp // 2, 2, wp // 2, 2, c)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(
-        x8.shape[0], hp // 2, wp // 2, 4 * c)
-
-    a, b2 = (kh + 2) // 2, (kw + 2) // 2   # kernel padded to next even
-    wpad = np.zeros((2 * a, 2 * b2, c, o), w.dtype)
-    wpad[:kh, :kw] = w
-    w2 = wpad.reshape(a, 2, b2, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
-    w2 = w2.reshape(a, b2, 4 * c, o)
-    return x2, w2
+    return s2d_input(x8, pad), s2d_kernel(w)
 
 
 def s2d_output_hw(h: int, w: int, kh: int, kw: int, pad: int

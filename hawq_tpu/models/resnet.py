@@ -41,8 +41,9 @@ _STAGE_CHANNELS = {
     'resnet101': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'tiny18': (None, (16, 32)),
     'tiny50': ((8, 16), (32, 64)),
+    'wide50': ((128, 128), (256, 256)),
 }
-_INIT_FEATURES = {'tiny18': 16, 'tiny50': 16}
+_INIT_FEATURES = {'tiny18': 16, 'tiny50': 16, 'wide50': 64}
 
 
 def _qact(cfg: BitConfig, key: str, name: str) -> L.QuantAct:

@@ -49,3 +49,37 @@ def test_inception_qat_engine_parity():
     assert mismatches == 0, (
         f'{mismatches}/{qat_int.size} integer logits differ; '
         f'max |Δ| = {np.max(np.abs(qat / out_scale - eng / out_scale))}')
+
+
+@pytest.mark.slow
+def test_inception_per_unit_golden_featuremaps():
+    """Engine capture at unit concat-requant nodes == QAT sown integers,
+    exactly (golden-featuremap mechanism for the inception family)."""
+    cfg = BitConfig(name='incept_tiny_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=WIDTH_DIV)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(2):
+        v = calib(v, x)
+    _, state = model.apply(v, x, folded=True, update_stats=False,
+                           mutable=['intermediates'])
+    inter = state['intermediates']
+    fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
+                            width_div=WIDTH_DIV)
+
+    for i, j in [(1, 1), (2, 1)]:   # an A unit and the reduction-A unit
+        node = f'features.stage{i}.unit{j}.q_rescaling_activ'
+        eng = np.asarray(build_inceptionv3_engine(
+            fm, width_div=WIDTH_DIV, capture=node)(x))
+        qat = np.asarray(inter[f'stage{i}_unit{j}']['q_rescaling_activ']
+                         ['q_int'][0])
+        np.testing.assert_array_equal(qat, eng.astype(np.float64),
+                                      err_msg=node)

@@ -99,3 +99,90 @@ class TestKBlocked:
         ref = km.reference_matmul_requant(jnp.array(x), jnp.array(w),
                                           jnp.array(bias), jnp.array(mult))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
+class TestConvKernels:
+    """Pallas conv kernels (kernels/conv.py): exact equality vs the XLA
+    conv oracle in interpret mode, incl. packed-int4 weights and the
+    space-to-depth stride-2 rewrite."""
+
+    def _case(self, B=1, H=8, C=128, N=128, seed=0):
+        from hawq_tpu.kernels import conv as kc
+        rng = np.random.RandomState(seed)
+        x = rng.randint(-128, 128, (B, H, H, C)).astype(np.int8)
+        w = rng.randint(-8, 8, (3, 3, C, N)).astype(np.int8)
+        bias = rng.randint(-2 ** 12, 2 ** 12, (N,)).astype(np.int32)
+        mult = (0.0005 * (0.5 + rng.rand(N))).astype(np.float32)
+        return kc, x, w, bias, mult
+
+    def test_int8_conv_exact(self):
+        kc, x, w, bias, mult = self._case()
+        B, H = x.shape[0], x.shape[1]
+        ref = kc.reference_conv_requant(jnp.array(x), jnp.array(w),
+                                        jnp.array(bias), jnp.array(mult),
+                                        stride=1, pad=1, relu=True)
+        xp = kc.prepare_conv_input(jnp.array(x), (1, 1))
+        wf = kc.flatten_conv_kernel(w)
+        with pltpu.force_tpu_interpret_mode():
+            got = kc.int8_conv_requant(xp, jnp.array(wf), jnp.array(bias),
+                                       jnp.array(mult), taps=(3, 3),
+                                       out_hw=(H, H), cin=x.shape[-1],
+                                       relu=True, block_n=128)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(ref.shape), np.asarray(ref))
+
+    def test_int4w_conv_exact(self):
+        kc, x, w, bias, mult = self._case(seed=1)
+        B, H = x.shape[0], x.shape[1]
+        ref = kc.reference_conv_requant(jnp.array(x), jnp.array(w),
+                                        jnp.array(bias), jnp.array(mult),
+                                        stride=1, pad=1)
+        xp = kc.prepare_conv_input(jnp.array(x), (1, 1))
+        wp = kc.pack_int4_conv(kc.flatten_conv_kernel(w), 9)
+        with pltpu.force_tpu_interpret_mode():
+            got = kc.int4w_conv_requant(xp, jnp.array(wp), jnp.array(bias),
+                                        jnp.array(mult), taps=(3, 3),
+                                        out_hw=(H, H), cin=x.shape[-1],
+                                        block_n=128)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(ref.shape), np.asarray(ref))
+
+    def test_s2d_stride2_exact(self):
+        kc, x, w, bias, mult = self._case(seed=2)
+        ref = kc.reference_conv_requant(jnp.array(x), jnp.array(w),
+                                        jnp.array(bias), jnp.array(mult),
+                                        stride=2, pad=1, relu=True)
+        x2 = kc.s2d_input(jnp.array(x), 1)
+        w2 = kc.s2d_kernel(w)
+        oh, ow = kc.s2d_output_hw(x.shape[1], x.shape[2], 3, 3, 1)
+        xp = kc.prepare_conv_input(x2, (0, 0))
+        wf = kc.flatten_conv_kernel(w2)
+        with pltpu.force_tpu_interpret_mode():
+            got = kc.int8_conv_requant(xp, jnp.array(wf), jnp.array(bias),
+                                       jnp.array(mult), taps=w2.shape[:2],
+                                       out_hw=(oh, ow), cin=4 * x.shape[-1],
+                                       relu=True, block_n=128)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(ref.shape), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_pallas_routed_engine_matches_xla_engine():
+    """Full engine with pallas conv routing (wide50: MXU-aligned channels,
+    3×3 + 1×1 + strided convs routed) vs the plain XLA build — identical
+    logits, for both uniform8 and uniform4 (packed int4 weights)."""
+    import jax.numpy as jnp2
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+    from hawq_tpu.inference.engine import build_resnet_engine
+
+    rng = np.random.RandomState(0)
+    x = jnp2.asarray(rng.rand(1, 32, 32, 3).astype(np.float32))
+    for scheme in ('uniform8', 'uniform4'):
+        cfg = get_bit_config('wide50', scheme)
+        fm = synthetic_frozen_resnet('wide50', cfg, num_classes=16)
+        ref = np.asarray(build_resnet_engine(fm)(x))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(build_resnet_engine(fm, use_pallas=True)(x))
+        np.testing.assert_array_equal(got, ref, err_msg=scheme)

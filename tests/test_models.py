@@ -144,3 +144,51 @@ class TestQInceptionSubgraphs:
         (y, sf), _ = br.apply(v, x, in_sf, folded=True, update_stats=True,
                               mutable=['quant_stats', 'batch_stats'])
         assert y.shape[-1] == 64            # 1×3 and 3×1 concat
+
+
+class TestMobileNetV2FeaturemapParity:
+    def test_per_unit_golden_featuremaps(self):
+        """Engine capture (debug-unit) integers == QAT sown QuantAct ints,
+        exactly — the golden-featuremap mechanism extended beyond ResNet
+        (reference hawq_utils_resnet50.py:374-424 is resnet-only)."""
+        from hawq_tpu.models.mobilenetv2 import (QMobileNetV2,
+                                                 TINY_MNV2_STAGES,
+                                                 TINY_MNV2_INIT_CH,
+                                                 TINY_MNV2_FINAL_CH)
+        from hawq_tpu.inference.freeze import freeze_mobilenetv2
+        from hawq_tpu.inference.engine_mobilenet import \
+            build_mobilenetv2_engine
+
+        cfg = BitConfig(name='tiny_mnv2_u8', table={},
+                        settings=QuantSettings())
+        model = QMobileNetV2(cfg=cfg, num_classes=8, stages=TINY_MNV2_STAGES,
+                             init_ch=TINY_MNV2_INIT_CH,
+                             final_ch=TINY_MNV2_FINAL_CH)
+        x = jnp.asarray(np.random.RandomState(3)
+                        .randn(2, 32, 32, 3).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x, folded=True,
+                       update_stats=True)
+        for _ in range(3):
+            _, mut = model.apply(v, x, folded=True, update_stats=True,
+                                 mutable=['quant_stats', 'batch_stats'])
+            v = {**v, **mut}
+        _, state = model.apply(v, x, folded=True, update_stats=False,
+                               mutable=['intermediates'])
+        inter = state['intermediates']
+        fm = freeze_mobilenetv2(jax.tree.map(np.asarray, v), cfg,
+                                TINY_MNV2_STAGES, num_classes=8)
+
+        cases = [  # (capture node, module, sown act) incl. a residual unit
+            ('features.stage1.unit1.conv1', 'stage1_unit1', 'quant_act1'),
+            ('features.stage2.unit1.conv2', 'stage2_unit1', 'quant_act2'),
+            ('features.stage2.unit2.quant_act_int32', 'stage2_unit2',
+             'quant_act_int32'),
+            ('features.stage1.unit1.quant_act_int32', 'stage1_unit1',
+             'quant_act_int32'),
+        ]
+        for node, mod, act in cases:
+            eng = np.asarray(build_mobilenetv2_engine(
+                fm, TINY_MNV2_STAGES, capture=node)(x))
+            qat = np.asarray(inter[mod][act]['q_int'][0])
+            np.testing.assert_array_equal(qat, eng.astype(np.float64),
+                                          err_msg=node)
