@@ -1,13 +1,17 @@
 """Headline benchmark: integer ResNet50 inference throughput vs fp32 baseline.
 
 Prints ONE JSON line:
-  {"metric": "resnet50_w8a8_speedup_vs_fp32", "value": N, "unit": "x",
-   "vs_baseline": N / 3.1}
+  {"metric": "resnet50_w4a4_speedup_vs_fp32", "value": N, "unit": "x",
+   "vs_baseline": N / 4.5, "w8a8_speedup_vs_fp32": ..., ...}
 
-The reference's headline (BASELINE.md): ResNet50 W8A8 is 3.1× over fp32 on a
-T4 at batch 8 (TVM int8 tensor-core kernels).  Here both sides run on one
-TPU chip: the fp32 JAX FloatResNet50 vs the integer engine (int8 MXU convs +
-dyadic requant epilogues).  vs_baseline = our speedup / the reference's 3.1×.
+The reference's headlines (BASELINE.md, T4 batch 8, TVM tensor-core
+kernels): ResNet50 W8A8 3.1× and W4A4 4.5× over fp32.  Here both sides run
+on one TPU chip: the fp32 JAX FloatResNet50 vs the integer engines (int8
+MXU convs / pallas packed-int4 conv kernels + dyadic requant epilogues,
+per-layer backend from the measured routing table).  The headline is the
+BASELINE.json north star — W4A4 images/sec over fp32 per chip
+(vs_baseline = our W4A4 speedup / the reference's 4.5×); the W8A8 point is
+reported in the same line.
 
 Timing methodology: host↔device round-trips in this environment can be slow
 and async dispatch acks before execution, so each measurement chains N
@@ -110,19 +114,48 @@ def main():
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
     t_int8 = time_per_iter(engine, x)
 
+    # W4A4: uniform4 engine, per-layer backend from the measured routing
+    # table (pallas packed-int4 conv/matmul kernels where they won on this
+    # chip, XLA int8 otherwise — int4 values run exactly through either).
+    from hawq_tpu.inference.autotune import load_routing
+    cfg4 = get_bit_config('resnet50', 'uniform4')
+    fm4 = synthetic_frozen_resnet('resnet50', cfg4)
+    rpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'benchmarks',
+                         f'routing_resnet50_uniform4_b{batch}.json')
+    routing = load_routing(rpath) if os.path.exists(rpath) else None
+    engine4 = build_resnet_engine(fm4, residual_dtype=jnp.int16,
+                                  use_pallas=True, routing=routing)
+    t_int4 = time_per_iter(engine4, x)
+
+    speedup4 = t_f32 / t_int4
     speedup = t_f32 / t_int8
     result = {
-        'metric': 'resnet50_w8a8_speedup_vs_fp32',
-        'value': round(speedup, 3),
+        'metric': 'resnet50_w4a4_speedup_vs_fp32',
+        'value': round(speedup4, 3),
         'unit': 'x',
-        'vs_baseline': round(speedup / 3.1, 3),
+        'vs_baseline': round(speedup4 / 4.5, 3),
+        'w8a8_speedup_vs_fp32': round(speedup, 3),
+        'w8a8_vs_baseline': round(speedup / 3.1, 3),
         'fp32_ms_per_batch': round(t_f32 * 1e3, 3),
         'int8_ms_per_batch': round(t_int8 * 1e3, 3),
+        'int4_ms_per_batch': round(t_int4 * 1e3, 3),
         'fp32_images_per_sec': round(batch / t_f32, 1),
         'int8_images_per_sec': round(batch / t_int8, 1),
+        'int4_images_per_sec': round(batch / t_int4, 1),
+        'routing': 'measured' if routing is not None else 'default-pallas',
         'batch': batch,
         'device': str(jax.devices()[0]),
     }
+
+    # roofline context: integer-op throughput vs the v5e int8 MXU peak
+    # (394 TOP/s), computed from the model's exact MAC count — the
+    # "every kernel at speed-of-light" evidence (BASELINE.json north star)
+    from hawq_tpu.inference.profile import engine_flops_and_bytes
+    fb = engine_flops_and_bytes(fm, batch)
+    result['int8_tops'] = round(fb['int_ops'] / t_int8 / 1e12, 1)
+    result['int8_mxu_util_pct'] = round(
+        100.0 * fb['int_ops'] / t_int8 / 394e12, 1)
 
     # context extras: bf16-default baseline + the reference's batch-8 point.
     # Opt-in (two more model compiles ≈ minutes on the remote-compile
@@ -134,11 +167,20 @@ def main():
         t_bf16 = time_per_iter(bf16_fn, x)
         result['bf16_ms_per_batch'] = round(t_bf16 * 1e3, 3)
         result['speedup_vs_bf16'] = round(t_bf16 / t_int8, 3)
+        result['w4a4_speedup_vs_bf16'] = round(t_bf16 / t_int4, 3)
         x8 = x[:8]
         t_f32_b8 = time_per_iter(f32_fn, x8)
         t_int8_b8 = time_per_iter(engine, x8)
         result['speedup_batch8'] = round(t_f32_b8 / t_int8_b8, 3)
         result['int8_ms_batch8'] = round(t_int8_b8 * 1e3, 3)
+        rpath8 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              'benchmarks', 'routing_resnet50_uniform4_b8.json')
+        routing8 = load_routing(rpath8) if os.path.exists(rpath8) else None
+        engine4_b8 = build_resnet_engine(fm4, residual_dtype=jnp.int16,
+                                         use_pallas=True, routing=routing8)
+        t_int4_b8 = time_per_iter(engine4_b8, x8)
+        result['w4a4_speedup_batch8'] = round(t_f32_b8 / t_int4_b8, 3)
+        result['int4_ms_batch8'] = round(t_int4_b8 * 1e3, 3)
     except Exception as e:          # noqa: BLE001 — extras must not fail the run
         result['extras_error'] = f'{type(e).__name__}: {e}'[:200]
 

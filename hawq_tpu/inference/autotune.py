@@ -2,11 +2,12 @@
 
 The reference picks CUDA schedules per conv via AutoTVM sweeps cached in
 tuning_logs/*.log (/root/reference/tvm_benchmark/test_resnet_inference_time
-.py:189-217).  Here the choice per 1×1 conv layer is between three backends:
+.py:189-217).  Here the choice per conv layer (1×1 matmul-shaped via
+kernels/matmul.py, 3×3 via kernels/conv.py) is between three backends:
 
   'xla'      — XLA's native int8 convolution (best at shallow/wide layers)
-  'pallas8'  — fused Pallas int8 matmul + requant epilogue
-  'pallas4w' — fused Pallas matmul streaming nibble-packed int4 weights
+  'pallas8'  — fused Pallas int8 conv/matmul + requant epilogue
+  'pallas4w' — the same streaming nibble-packed int4 weights
                (only for 4-bit layers; wins where weight bytes dominate —
                measured 1.5× over XLA at K=2048 shapes on v5e)
 
@@ -18,6 +19,7 @@ analog) and feed ``build_resnet_engine(..., routing=table)``.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, Mapping, Optional
 
 import numpy as np
@@ -26,55 +28,124 @@ from hawq_tpu.inference.freeze import FrozenModel
 
 
 def routable_convs(fm: FrozenModel, batch: int, image_size: int = 224):
-    """(key, M, cin, cout, weight_bits) for every pallas-routable 1×1 conv."""
+    """(key, h_in, stride, kh, cin, cout, weight_bits) for every
+    pallas-routable conv (1×1 matmul-shaped or 3×3 conv-kernel-shaped,
+    both requiring 128-lane-aligned channels — the same predicate as
+    engine.pallas_routable)."""
     from benchmarks.latency_lut import conv_shapes
     out = []
     for (key, h, stride, kh, kw, cin, cout) in conv_shapes(
             fm.arch, input_size=image_size, batch=batch):
-        if kh == 1 and kw == 1 and cin % 128 == 0 and cout % 128 == 0 and \
+        if kh in (1, 3) and cin % 128 == 0 and cout % 128 == 0 and \
                 key + '.weight_int' in fm.tensors:
-            h_out = h // stride
-            out.append((key, batch * h_out * h_out, cin, cout,
+            out.append((key, h, stride, kh, cin, cout,
                         fm.cfg.weight_bits(key)))
     return out
 
 
 def autotune_routing(fm: FrozenModel, batch: int = 64,
                      image_size: int = 224,
-                     verbose: bool = True) -> Dict[str, str]:
+                     verbose: bool = True,
+                     checkpoint_path: Optional[str] = None) -> Dict[str, str]:
     """Measure each routable layer with each candidate backend on the
-    current default device; return the fastest choice per layer."""
+    current default device; return the fastest choice per layer.
+
+    With ``checkpoint_path``, the table is written after every layer and a
+    pre-existing file resumes the sweep (remote-compile sweeps can exceed
+    one run's time budget)."""
     import jax
     import jax.numpy as jnp
     from bench import time_per_iter
     from hawq_tpu.kernels import matmul as km
+    from hawq_tpu.kernels import conv as kc
 
     rng = np.random.RandomState(0)
     table: Dict[str, str] = {}
-    for key, m, cin, cout, bits in routable_convs(fm, batch, image_size):
-        x = jnp.asarray(rng.randint(-128, 128, (m, cin)).astype(np.int8))
-        w2d = np.asarray(fm[key + '.weight_int']).reshape(cin, cout)
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        table = load_routing(checkpoint_path)
+    for key, h, stride, kh, cin, cout, bits in routable_convs(
+            fm, batch, image_size):
+        if key in table:
+            continue
         bias = np.asarray(fm[key + '.bias_int'])
         mult = np.full(cout, 1e-4, np.float32)
-        xp = km.pad_to(x, 256, 1)
+        bj, mj = jnp.asarray(bias), jnp.asarray(mult)
 
-        def xla_fn(x, w=jnp.asarray(w2d), b=bias, mlt=mult):
-            acc = jax.lax.dot_general(
-                x, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32) + b
-            out = jnp.floor(acc.astype(jnp.float32) * mlt + 0.5)
-            return jnp.clip(out, -128, 127).astype(jnp.int8)
+        if kh == 1:
+            h_out = h // stride
+            m = batch * h_out * h_out
+            x = jnp.asarray(rng.randint(-128, 128, (m, cin))
+                            .astype(np.int8))
+            w2d = np.asarray(fm[key + '.weight_int']).reshape(cin, cout)
+            xp = km.pad_to(x, 256, 1)
 
-        candidates = {'xla': (jax.jit(xla_fn), x),
-                      'pallas8': (lambda xp, w=jnp.asarray(w2d),
-                                  b=jnp.asarray(bias), mlt=jnp.asarray(mult):
-                                  km.int8_matmul_requant(xp, w, b, mlt), xp)}
-        if bits == 4:
-            packed = jnp.asarray(km.pack_int4(w2d))
-            candidates['pallas4w'] = (
-                lambda xp, w=packed, b=jnp.asarray(bias),
-                mlt=jnp.asarray(mult):
-                km.int4w_matmul_requant(xp, w, b, mlt), xp)
+            def xla_fn(x, w=jnp.asarray(w2d), b=bias, mlt=mult):
+                acc = jax.lax.dot_general(
+                    x, w, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) + b
+                out = jnp.floor(acc.astype(jnp.float32) * mlt + 0.5)
+                return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+            candidates = {
+                'xla': (jax.jit(xla_fn), x),
+                'pallas8': (lambda xp, w=jnp.asarray(w2d), b=bj, mlt=mj:
+                            km.int8_matmul_requant(xp, w, b, mlt), xp)}
+            if bits == 4:
+                packed = jnp.asarray(km.pack_int4(w2d))
+                candidates['pallas4w'] = (
+                    lambda xp, w=packed, b=bj, mlt=mj:
+                    km.int4w_matmul_requant(xp, w, b, mlt), xp)
+        else:
+            # 3×3 conv: XLA conv vs the pallas conv kernels (stride 2 via
+            # the space-to-depth rewrite — identical integer products)
+            x4 = jnp.asarray(rng.randint(-128, 128, (batch, h, h, cin))
+                             .astype(np.int8))
+            w = np.asarray(fm[key + '.weight_int'])
+            dn = jax.lax.conv_dimension_numbers(
+                x4.shape, w.shape, ('NHWC', 'HWIO', 'NHWC'))
+
+            def xla_fn(xi, w=jnp.asarray(w), b=bias, mlt=mult, s=stride,
+                       dn=dn):
+                acc = jax.lax.conv_general_dilated(
+                    xi, w, (s, s), 'SAME', dimension_numbers=dn,
+                    preferred_element_type=jnp.int32) + b
+                out = jnp.floor(acc.astype(jnp.float32) * mlt + 0.5)
+                return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+            if stride == 2:
+                wk = kc.s2d_kernel(w)
+                cin_k = 4 * cin
+                oh = kc.s2d_output_hw(h, h, 3, 3, 1)[0]
+
+                def prep(xi):
+                    return kc.prepare_conv_input(kc.s2d_input(xi, 1),
+                                                 (0, 0))
+            else:
+                wk, cin_k, oh = w, cin, h
+
+                def prep(xi):
+                    return kc.prepare_conv_input(xi, (1, 1))
+
+            taps = (wk.shape[0], wk.shape[1])
+            wf = kc.flatten_conv_kernel(wk)
+
+            def pc8(xi, w=jnp.asarray(wf), b=bj, mlt=mj, taps=taps,
+                    oh=oh, cin_k=cin_k, prep=prep):
+                return kc.int8_conv_requant(prep(xi), w, b, mlt, taps=taps,
+                                            out_hw=(oh, oh), cin=cin_k)
+
+            candidates = {'xla': (jax.jit(xla_fn), x4),
+                          'pallas8': (jax.jit(pc8), x4)}
+            if bits == 4:
+                wp4 = jnp.asarray(kc.pack_int4_conv(wf, taps[0] * taps[1]))
+
+                def pc4(xi, w=wp4, b=bj, mlt=mj, taps=taps, oh=oh,
+                        cin_k=cin_k, prep=prep):
+                    return kc.int4w_conv_requant(prep(xi), w, b, mlt,
+                                                 taps=taps, out_hw=(oh, oh),
+                                                 cin=cin_k)
+
+                candidates['pallas4w'] = (jax.jit(pc4), x4)
 
         times = {}
         for name, (fn, arg) in candidates.items():
@@ -84,6 +155,8 @@ def autotune_routing(fm: FrozenModel, batch: int = 64,
                 times[name] = float('inf')
         best = min(times, key=times.get)
         table[key] = best
+        if checkpoint_path is not None:
+            save_routing(checkpoint_path, table)
         if verbose:
             desc = '  '.join(f'{n} {t*1e6:7.1f}us' for n, t in times.items())
             print(f'{key:45s} -> {best:8s} [{desc}]', flush=True)
@@ -98,3 +171,37 @@ def save_routing(path: str, table: Mapping[str, str]) -> None:
 def load_routing(path: str) -> Dict[str, str]:
     with open(path) as f:
         return json.load(f)
+
+
+def main():
+    """Regenerate a routing table on the current device.
+
+    Run from the repo root (one TPU process at a time):
+        timeout 590 python -m hawq_tpu.inference.autotune \
+            --arch resnet50 --scheme uniform4 --batch 8
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--arch', default='resnet50')
+    ap.add_argument('--scheme', default='uniform4')
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args()
+
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+
+    cfg = get_bit_config(args.arch, args.scheme)
+    fm = synthetic_frozen_resnet(args.arch, cfg)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), 'benchmarks',
+        f'routing_{args.arch}_{args.scheme}_b{args.batch}.json')
+    table = autotune_routing(fm, batch=args.batch, checkpoint_path=out)
+    save_routing(out, table)
+    print('wrote', out)
+
+
+if __name__ == '__main__':
+    main()

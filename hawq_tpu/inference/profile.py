@@ -98,3 +98,37 @@ def engine_flops_and_bytes(fm: FrozenModel, batch: int,
         weight_bytes += kh * kw * cin * cout * bits // 8
     return {'int_ops': 2.0 * total_macs,
             'weight_bytes': float(weight_bytes)}
+
+
+def main():
+    """Per-stage engine profile on the current device.
+
+    Run from the repo root (one TPU process at a time):
+        timeout 590 python -m hawq_tpu.inference.profile \
+            --arch resnet50 --scheme uniform8 --batch 64
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--arch', default='resnet50')
+    ap.add_argument('--scheme', default='uniform8')
+    ap.add_argument('--batch', type=int, default=64)
+    ap.add_argument('--points', default=None,
+                    help='comma list of capture points (default per-stage)')
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+
+    cfg = get_bit_config(args.arch, args.scheme)
+    fm = synthetic_frozen_resnet(args.arch, cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    points = args.points.split(',') if args.points else None
+    profile_engine(fm, x, points=points, residual_dtype=jnp.int16)
+
+
+if __name__ == '__main__':
+    main()
