@@ -4,14 +4,15 @@ Prints ONE JSON line:
   {"metric": "resnet50_w4a4_speedup_vs_fp32", "value": N, "unit": "x",
    "vs_baseline": N / 4.5, "w8a8_speedup_vs_fp32": ..., ...}
 
-The reference's headlines (BASELINE.md, T4 batch 8, TVM tensor-core
-kernels): ResNet50 W8A8 3.1× and W4A4 4.5× over fp32.  Here both sides run
-on one TPU chip: the fp32 JAX FloatResNet50 vs the integer engines (int8
-MXU convs / pallas packed-int4 conv kernels + dyadic requant epilogues,
-per-layer backend from the measured routing table).  The headline is the
-BASELINE.json north star — W4A4 images/sec over fp32 per chip
-(vs_baseline = our W4A4 speedup / the reference's 4.5×); the W8A8 point is
-reported in the same line.
+The reference's headlines (BASELINE.md, T4 **batch 8**, TVM tensor-core
+kernels): ResNet50 W8A8 3.1× and W4A4 4.5× over fp32.  The headline here
+matches that setting: batch 8, one TPU chip, fp32 JAX FloatResNet50 vs the
+integer engines (int8 MXU convs / pallas packed-int4 kernels + dyadic
+requant epilogues, per-layer backend from the measured batch-8 routing
+table).  The headline is the BASELINE.json north star — W4A4 images/sec
+over fp32 per chip (vs_baseline = our W4A4 speedup / the reference's
+4.5×); the W8A8 point and the batch-64 throughput numbers ride in the
+same line.
 
 Timing methodology: host↔device round-trips in this environment can be slow
 and async dispatch acks before execution, so each measurement chains N
@@ -89,7 +90,7 @@ def main():
     from hawq_tpu.inference.engine import build_resnet_engine
     from hawq_tpu.models.resnet import FloatResNet
 
-    batch = 64
+    batch = 8
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 224, 224, 3).astype(np.float32))
 
@@ -114,19 +115,28 @@ def main():
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16)
     t_int8 = time_per_iter(engine, x)
 
-    # W4A4: uniform4 engine, per-layer backend from the measured routing
-    # table (pallas packed-int4 conv/matmul kernels where they won on this
-    # chip, XLA int8 otherwise — int4 values run exactly through either).
+    # W4A4: uniform4 engine.  Two candidate builds are measured and the
+    # faster kept: all-XLA (int4 weights run exactly through the int8
+    # path), and the measured per-layer routing table (pallas packed-int4
+    # kernels where they won in isolation — layer-level wins do not always
+    # survive engine integration, so the end-to-end timing arbitrates).
     from hawq_tpu.inference.autotune import load_routing
     cfg4 = get_bit_config('resnet50', 'uniform4')
     fm4 = synthetic_frozen_resnet('resnet50', cfg4)
+    engine4 = build_resnet_engine(fm4, residual_dtype=jnp.int16)
+    t_int4 = time_per_iter(engine4, x)
+    routing_used = 'all-xla'
     rpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          'benchmarks',
                          f'routing_resnet50_uniform4_b{batch}.json')
-    routing = load_routing(rpath) if os.path.exists(rpath) else None
-    engine4 = build_resnet_engine(fm4, residual_dtype=jnp.int16,
-                                  use_pallas=True, routing=routing)
-    t_int4 = time_per_iter(engine4, x)
+    if os.path.exists(rpath):
+        routing = load_routing(rpath)
+        if any(v != 'xla' for v in routing.values()):
+            engine4_r = build_resnet_engine(fm4, residual_dtype=jnp.int16,
+                                            use_pallas=True, routing=routing)
+            t_int4_r = time_per_iter(engine4_r, x)
+            if t_int4_r < t_int4:
+                t_int4, engine4, routing_used = t_int4_r, engine4_r, 'measured'
 
     speedup4 = t_f32 / t_int4
     speedup = t_f32 / t_int8
@@ -143,7 +153,7 @@ def main():
         'fp32_images_per_sec': round(batch / t_f32, 1),
         'int8_images_per_sec': round(batch / t_int8, 1),
         'int4_images_per_sec': round(batch / t_int4, 1),
-        'routing': 'measured' if routing is not None else 'default-pallas',
+        'routing': routing_used,
         'batch': batch,
         'device': str(jax.devices()[0]),
     }
@@ -168,19 +178,12 @@ def main():
         result['bf16_ms_per_batch'] = round(t_bf16 * 1e3, 3)
         result['speedup_vs_bf16'] = round(t_bf16 / t_int8, 3)
         result['w4a4_speedup_vs_bf16'] = round(t_bf16 / t_int4, 3)
-        x8 = x[:8]
-        t_f32_b8 = time_per_iter(f32_fn, x8)
-        t_int8_b8 = time_per_iter(engine, x8)
-        result['speedup_batch8'] = round(t_f32_b8 / t_int8_b8, 3)
-        result['int8_ms_batch8'] = round(t_int8_b8 * 1e3, 3)
-        rpath8 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              'benchmarks', 'routing_resnet50_uniform4_b8.json')
-        routing8 = load_routing(rpath8) if os.path.exists(rpath8) else None
-        engine4_b8 = build_resnet_engine(fm4, residual_dtype=jnp.int16,
-                                         use_pallas=True, routing=routing8)
-        t_int4_b8 = time_per_iter(engine4_b8, x8)
-        result['w4a4_speedup_batch8'] = round(t_f32_b8 / t_int4_b8, 3)
-        result['int4_ms_batch8'] = round(t_int4_b8 * 1e3, 3)
+        # batch-64 serving-throughput point (all-XLA routing wins there —
+        # benchmarks/routing_resnet50_uniform4_b64.json)
+        x64 = jnp.asarray(rng.rand(64, 224, 224, 3).astype(np.float32))
+        t_int8_b64 = time_per_iter(engine, x64)
+        result['int8_ms_batch64'] = round(t_int8_b64 * 1e3, 3)
+        result['int8_images_per_sec_batch64'] = round(64 / t_int8_b64, 1)
     except Exception as e:          # noqa: BLE001 — extras must not fail the run
         result['extras_error'] = f'{type(e).__name__}: {e}'[:200]
 

@@ -79,8 +79,9 @@ def main():
         fm = synthetic_frozen_resnet(args.arch, cfg)
 
         baseline = build_resnet_engine(fm)                      # plain XLA
-        prod = build_resnet_engine(fm, residual_dtype=jnp.int16,
-                                   s2d_init=True)               # production
+        # production config per benchmarks/engine_variants.py on v5e:
+        # int16 residual carry, XLA convs, no s2d init (s2d measured slower)
+        prod = build_resnet_engine(fm, residual_dtype=jnp.int16)
         a = np.asarray(baseline(x))
         b = np.asarray(prod(x))
         match = bool(np.array_equal(a, b))

@@ -134,7 +134,8 @@ def main():
             results[name] = {'xla_ms': t_ref, 'pallas_s2d_ms': t_s2,
                              'exact': ok}
 
-    out = f'/tmp/conv_check_b{B}.json'
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f'conv_check_b{B}.json')
     with open(out, 'w') as f:
         json.dump(results, f, indent=1)
     print('wrote', out)

@@ -21,7 +21,12 @@ def main():
     from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
     from hawq_tpu.inference.engine import build_resnet_engine
 
-    B = 64
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=64)
+    args = ap.parse_args()
+
+    B = args.batch
     x = jnp.asarray(np.random.RandomState(0).rand(B, 224, 224, 3)
                     .astype(np.float32))
 
@@ -31,6 +36,7 @@ def main():
         variants = {
             'xla_int32res': dict(),
             'xla_int16res': dict(residual_dtype=jnp.int16),
+            'xla_i16_s2d': dict(residual_dtype=jnp.int16, s2d_init=True),
             'pallas_int32res': dict(use_pallas=True),
             'pallas_int16res': dict(use_pallas=True,
                                     residual_dtype=jnp.int16),

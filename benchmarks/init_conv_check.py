@@ -1,0 +1,153 @@
+"""Init-conv strategy micro-benchmark (the engine's batch-8 hot spot).
+
+The 7×7/stride-2 C=3 init convolution is ~50% of the batch-8 engine time
+through XLA's int8 conv path (per-stage profile).  Candidates, all
+bit-exact int32 accumulators:
+
+  int8     XLA int8 conv as-is
+  s2d      space-to-depth: 4×4/s1 on 12 channels (identical products)
+  bf16     cast int8 operands to bf16 and run the bf16 MXU conv.  EXACT:
+           int8 values are exactly representable in bf16 (≤8 mantissa
+           bits) and |acc| ≤ 147·127² = 2.37e6 < 2²⁴, so the f32 MXU
+           accumulator is exact; rounding the f32 result to int32
+           reproduces the int8 conv bit-for-bit.
+  bf16s2d  both rewrites combined
+
+Run (one TPU process at a time):
+    timeout 590 python -u benchmarks/init_conv_check.py --batch 8
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from bench import time_per_iter
+    from hawq_tpu.inference.engine import _s2d_input, _s2d_kernel
+
+    B = args.batch
+    rng = np.random.RandomState(0)
+    x = rng.randint(-128, 128, (B, 224, 224, 3)).astype(np.int8)
+    w = rng.randint(-128, 128, (7, 7, 3, 64)).astype(np.int8)
+    xj, wj = jnp.asarray(x), jnp.asarray(w)
+
+    def conv_int8(xi):
+        dn = lax.conv_dimension_numbers(xi.shape, w.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        return lax.conv_general_dilated(
+            xi, wj, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    w2 = _s2d_kernel(w)
+    w2j = jnp.asarray(w2)
+
+    def conv_s2d(xi):
+        x2 = _s2d_input(xi)
+        dn = lax.conv_dimension_numbers(x2.shape, w2.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        return lax.conv_general_dilated(
+            x2, w2j, (1, 1), 'VALID', dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    wb = wj.astype(jnp.bfloat16)
+
+    def conv_bf16(xi):
+        dn = lax.conv_dimension_numbers(xi.shape, w.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        acc = lax.conv_general_dilated(
+            xi.astype(jnp.bfloat16), wb, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return acc.astype(jnp.int32)
+
+    w2b = w2j.astype(jnp.bfloat16)
+
+    def conv_bf16_s2d(xi):
+        x2 = _s2d_input(xi)
+        dn = lax.conv_dimension_numbers(x2.shape, w2.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        acc = lax.conv_general_dilated(
+            x2.astype(jnp.bfloat16), w2b, (1, 1), 'VALID',
+            dimension_numbers=dn, preferred_element_type=jnp.float32)
+        return acc.astype(jnp.int32)
+
+    # manual implicit GEMM: s2d, then im2col via 16 shifted slices
+    # concatenated on channels, then ONE int8 MXU matmul (K=192, N=64).
+    wf = jnp.asarray(w2.reshape(16 * 12, 64))          # (dy, dx, c) major
+
+    def conv_im2col(xi):
+        x2 = _s2d_input(xi)                            # (B, 115, 115, 12)
+        cols = [x2[:, dy:dy + 112, dx:dx + 112, :]
+                for dy in range(4) for dx in range(4)]
+        xcat = jnp.concatenate(cols, axis=-1)          # (B, 112, 112, 192)
+        b = xcat.shape[0]
+        acc = lax.dot_general(xcat.reshape(b * 112 * 112, 192), wf,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        return acc.reshape(b, 112, 112, 64)
+
+    wfb = wf.astype(jnp.bfloat16)
+
+    def conv_im2col_bf16(xi):
+        x2 = _s2d_input(xi)
+        cols = [x2[:, dy:dy + 112, dx:dx + 112, :]
+                for dy in range(4) for dx in range(4)]
+        xcat = jnp.concatenate(cols, axis=-1).astype(jnp.bfloat16)
+        b = xcat.shape[0]
+        acc = lax.dot_general(xcat.reshape(b * 112 * 112, 192), wfb,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+        return acc.astype(jnp.int32).reshape(b, 112, 112, 64)
+
+    def conv_nchw(xi):
+        xt = jnp.transpose(xi, (0, 3, 1, 2))           # NCHW: minor = W
+        dn = lax.conv_dimension_numbers(xt.shape, w.shape,
+                                        ('NCHW', 'HWIO', 'NCHW'))
+        acc = lax.conv_general_dilated(
+            xt, wj, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+        return jnp.transpose(acc, (0, 2, 3, 1))
+
+    def conv_c4(xi):
+        xp = jnp.pad(xi, ((0, 0),) * 3 + ((0, 1),))
+        wp = jnp.asarray(np.pad(w, ((0, 0),) * 2 + ((0, 1), (0, 0))))
+        dn = lax.conv_dimension_numbers(xp.shape, wp.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        return lax.conv_general_dilated(
+            xp, wp, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    fns = {'int8': conv_int8, 's2d': conv_s2d, 'bf16': conv_bf16,
+           'bf16s2d': conv_bf16_s2d, 'im2col': conv_im2col,
+           'im2col_bf16': conv_im2col_bf16, 'nchw': conv_nchw,
+           'c4': conv_c4}
+    ref = np.asarray(jax.jit(conv_int8)(xj))
+    results = {}
+    for name, fn in fns.items():
+        got = np.asarray(jax.jit(fn)(xj))
+        exact = bool(np.array_equal(got, ref))
+        t = time_per_iter(jax.jit(fn), xj) * 1e3
+        results[name] = {'ms': t, 'exact': exact}
+        print(f'{name:8s} {t:8.4f} ms  exact={exact}', flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       f'init_conv_b{B}.json')
+    with open(out, 'w') as f:
+        json.dump(results, f, indent=1)
+    print('wrote', out)
+
+
+if __name__ == '__main__':
+    main()
