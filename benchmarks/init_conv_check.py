@@ -129,16 +129,43 @@ def main():
             xp, wp, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn,
             preferred_element_type=jnp.int32)
 
+    # host-side 4×4 block fold (inference/fold.py): the fold happens in the
+    # data loader (a free memory permutation while building the batch), so
+    # only the folded 3×3/s1 K=432 conv + d2s is timed on device.
+    from hawq_tpu.inference import fold
+    xf = jnp.asarray(fold.fold4_images(x))
+    kf = jnp.asarray(fold.fold4_kernel(w))
+
+    def conv_fold4(xfi):
+        dn = lax.conv_dimension_numbers(xfi.shape, kf.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        acc4 = lax.conv_general_dilated(
+            xfi, kf, (1, 1), 'VALID', dimension_numbers=dn,
+            preferred_element_type=jnp.int32)[:, :112 // 2, :112 // 2]
+        return fold.depth_to_space_2x2(acc4)
+
+    # pre-folded space-to-depth (2×2) for comparison: 4×4/s1 C=12
+    x2f = jnp.asarray(np.asarray(jax.jit(_s2d_input)(xj)))
+
+    def conv_pre_s2d(x2i):
+        dn = lax.conv_dimension_numbers(x2i.shape, w2.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+        return lax.conv_general_dilated(
+            x2i, w2j, (1, 1), 'VALID', dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
     fns = {'int8': conv_int8, 's2d': conv_s2d, 'bf16': conv_bf16,
            'bf16s2d': conv_bf16_s2d, 'im2col': conv_im2col,
            'im2col_bf16': conv_im2col_bf16, 'nchw': conv_nchw,
-           'c4': conv_c4}
+           'c4': conv_c4, 'fold4': (conv_fold4, xf),
+           'pre_s2d': (conv_pre_s2d, x2f)}
     ref = np.asarray(jax.jit(conv_int8)(xj))
     results = {}
     for name, fn in fns.items():
-        got = np.asarray(jax.jit(fn)(xj))
+        fn, arg = fn if isinstance(fn, tuple) else (fn, xj)
+        got = np.asarray(jax.jit(fn)(arg))
         exact = bool(np.array_equal(got, ref))
-        t = time_per_iter(jax.jit(fn), xj) * 1e3
+        t = time_per_iter(jax.jit(fn), arg) * 1e3
         results[name] = {'ms': t, 'exact': exact}
         print(f'{name:8s} {t:8.4f} ms  exact={exact}', flush=True)
 

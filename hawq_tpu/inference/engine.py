@@ -137,6 +137,18 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     that node ('<prefix>.quant_act_int32', 'avg_pool', 'fc_input', ...), the
     debug_unit mechanism for golden-featuremap parity tests.
 
+    ``input_mode``:
+      'float32'         raw (B, H, W, 3) f32 images, quantized on device
+      'uint8'           raw (B, H, W, 3) u8 pixels, per-channel LUT on device
+      'folded_float32'  (B, (H+8)/4, (W+8)/4, 48) f32 — the host pre-applies
+                        inference.fold.fold4_images (a free permutation in
+                        the loader), and the 7×7/s2 init conv runs as the
+                        bit-exact folded 3×3/s1 rewrite — 8× faster than any
+                        on-device handling of the C=3-minor image (measured:
+                        benchmarks/init_conv_b8.json, docs/perf_tpu.md)
+      'folded_int8'     same, but the host also quantized (csrc/preproc
+                        bit-exact mirror) — the production serving transfer
+
     With ``use_pallas``, MXU-aligned 1×1 convolutions route through the fused
     Pallas matmul kernels (hawq_tpu/kernels/matmul.py): the requant epilogue
     runs in VMEM and 4-bit weight layers stream nibble-packed weights from
@@ -295,12 +307,24 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                      -128, 127).astype(np.int8).reshape(-1)   # (C*256,)
     u8_offsets = (np.arange(n_ch, dtype=np.int32) * 256)      # (C,)
 
+    folded = input_mode.startswith('folded')
+    if folded:
+        from hawq_tpu.inference import fold as _fold
+        w_init = np.asarray(fm[init_key + '.weight_int'])
+        assert w_init.shape[:2] == (7, 7), \
+            'folded input modes require the 7×7/s2 init conv'
+        w_fold = _fold.fold4_kernel(w_init)
+
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
         if input_mode == 'uint8':
             idx = images.astype(jnp.int32) + u8_offsets
             x8 = jnp.take(u8_lut, idx)
-        else:
+        elif input_mode == 'folded_int8':
+            x8 = images          # host quantized + folded (csrc mirror)
+        else:   # 'float32' / 'folded_float32': device-side quantization.
+            # For folded input the pad zeros quantize to integer 0, exactly
+            # like the device-side zero padding of the direct conv.
             x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
                           ).astype(jnp.int8)
         emit('input', x8)
@@ -310,22 +334,35 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         # this commutes exactly with the training graph's pool→requant→relu
         # order) — the pool then moves residual_dtype instead of int32.
         w8, b32 = plan.conv(init_key)
-        if s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
-            # space-to-depth: the 7×7/s2 conv on 3 channels wastes the
-            # 128-wide MXU; fold 2×2 pixel blocks into channels and run the
-            # exact same MACs as a 4×4/s1 conv on 12 channels.  Bit-exact:
-            # identical products, identical int32 sums, reordered.
-            acc = _conv_i8(_s2d_input(x8),
-                           _s2d_kernel(fm[init_key + '.weight_int']),
-                           (1, 1), 'VALID') + b32
-        else:
-            acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
         s_init = (fm[init_key + '.weight_scale'].astype(np.float32)
                   * np.float32(s_in))
         s16, b16, signed16 = act_info('quant_act_int32')
-        mult = plan.requant_mult('init_requant', s_init, s16)
-        x16 = _requant(acc, mult, b16, signed16, residual_dtype)
-        x16 = jnp.maximum(x16, 0)
+        if folded:
+            # 4×4 block-folded init conv (inference/fold.py): bit-exact
+            # 3×3/s1 rewrite of the 7×7/s2; requant+relu in folded layout
+            # (per-channel vectors tiled over the 4 stride-2 origins), then
+            # depth-to-space on the narrow residual dtype.
+            nb, mb = x8.shape[1], x8.shape[2]
+            acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + np.tile(b32, 4)
+            acc = acc[:, :nb - 2, :mb - 2]
+            mult = plan.requant_mult('init_requant', np.tile(s_init, 4), s16)
+            x16 = _requant(acc, mult, b16, signed16, residual_dtype)
+            x16 = jnp.maximum(x16, 0)
+            x16 = _fold.depth_to_space_2x2(x16)
+        else:
+            if s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
+                # space-to-depth: the 7×7/s2 conv on 3 channels wastes the
+                # 128-wide MXU; fold 2×2 pixel blocks into channels and run
+                # the exact same MACs as a 4×4/s1 conv on 12 channels.
+                # Bit-exact: identical products and int32 sums, reordered.
+                acc = _conv_i8(_s2d_input(x8),
+                               _s2d_kernel(fm[init_key + '.weight_int']),
+                               (1, 1), 'VALID') + b32
+            else:
+                acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
+            mult = plan.requant_mult('init_requant', s_init, s16)
+            x16 = _requant(acc, mult, b16, signed16, residual_dtype)
+            x16 = jnp.maximum(x16, 0)
         x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
         prev_scale = np.float32(s16)
         emit('init', x16)

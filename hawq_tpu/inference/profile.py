@@ -115,6 +115,7 @@ def main():
     ap.add_argument('--batch', type=int, default=64)
     ap.add_argument('--points', default=None,
                     help='comma list of capture points (default per-stage)')
+    ap.add_argument('--input-mode', default='float32')
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -125,9 +126,14 @@ def main():
     cfg = get_bit_config(args.arch, args.scheme)
     fm = synthetic_frozen_resnet(args.arch, cfg)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    x = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
+    if args.input_mode.startswith('folded'):
+        from hawq_tpu.inference.fold import fold4_images
+        x = fold4_images(x)
+    x = jnp.asarray(x)
     points = args.points.split(',') if args.points else None
-    profile_engine(fm, x, points=points, residual_dtype=jnp.int16)
+    profile_engine(fm, x, points=points, residual_dtype=jnp.int16,
+                   input_mode=args.input_mode)
 
 
 if __name__ == '__main__':

@@ -53,6 +53,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pack_int4_splitk.argtypes = [
         ctypes.POINTER(ctypes.c_int8), ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int8)]
+    if hasattr(lib, 'fold4'):
+        lib.fold4.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
 
@@ -124,3 +129,24 @@ def pack_int4(w: np.ndarray) -> np.ndarray:
         return out
     from hawq_tpu.kernels.matmul import pack_int4 as np_pack
     return np_pack(w)
+
+
+def fold4_images(x: np.ndarray) -> np.ndarray:
+    """Host-side 4×4 block fold of the init-conv input — the production
+    input layout for the integer engines (inference/fold.py, docs/
+    perf_tpu.md).  Native (threaded C++) when available; numpy fallback is
+    value-identical."""
+    x = np.ascontiguousarray(x)
+    b, h, w, c = x.shape
+    lib = _load()
+    if lib is not None and hasattr(lib, 'fold4'):
+        nb, mb = (h + 8) // 4, (w + 8) // 4
+        out = np.empty((b, nb, mb, 16 * c), x.dtype)
+        lib.fold4(x.view(np.uint8).ctypes.data_as(
+                      ctypes.POINTER(ctypes.c_uint8)),
+                  b, h, w, c, x.itemsize,
+                  out.view(np.uint8).ctypes.data_as(
+                      ctypes.POINTER(ctypes.c_uint8)))
+        return out
+    from hawq_tpu.inference.fold import fold4_images as np_fold
+    return np_fold(x)

@@ -1,0 +1,86 @@
+"""Bit-exactness of the 4×4 block-fold init-conv rewrite (inference/fold.py).
+
+The folded 2×2/s1 conv + depth-to-space must reproduce the direct
+7×7/stride-2/pad-3 int8 convolution's int32 accumulators exactly (same
+products, reassociated integer sums).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hawq_tpu.inference import fold
+
+
+def _direct_conv(x8, w, stride=2, pad=3):
+    dn = jax.lax.conv_dimension_numbers(x8.shape, w.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x8, w, (stride, stride), ((pad, pad), (pad, pad)),
+        dimension_numbers=dn, preferred_element_type=jnp.int32)
+
+
+@pytest.mark.parametrize('h,w', [(24, 24), (32, 48)])
+def test_fold4_conv_exact(h, w):
+    rng = np.random.RandomState(0)
+    x = rng.randint(-128, 128, (2, h, w, 3)).astype(np.int8)
+    k = rng.randint(-128, 128, (7, 7, 3, 8)).astype(np.int8)
+
+    ref = np.asarray(_direct_conv(jnp.asarray(x), jnp.asarray(k)))
+
+    xf = fold.fold4_images(x)
+    kf = fold.fold4_kernel(k)
+    assert xf.shape == (2, (h + 8) // 4, (w + 8) // 4, 48)
+    assert kf.shape == (3, 3, 48, 32)
+
+    acc4 = np.asarray(_direct_conv(jnp.asarray(xf), jnp.asarray(kf),
+                                   stride=1, pad=0))
+    acc4 = acc4[:, :h // 4, :w // 4]
+    got = fold.depth_to_space_2x2(acc4)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fold4_device_fold_matches_host():
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 24, 24, 3).astype(np.float32)
+    a = fold.fold4_images(x)
+    b = np.asarray(jax.jit(fold.fold4_images_jnp)(jnp.asarray(x)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fold4_zero_pad_quantizes_to_zero():
+    # the folded border zeros must quantize to integer 0, matching the
+    # device-side zero padding of the direct conv (engine input quant:
+    # clip(floor(x / s + 0.5)))
+    s = 0.0123
+    assert int(np.floor(0.0 / s + 0.5)) == 0
+
+
+def test_folded_engine_bit_exact():
+    """The folded_float32 engine must produce bit-identical logits to the
+    standard float32 engine (the fold is a pure reassociation)."""
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.models.resnet import QResNet
+    from hawq_tpu.inference.freeze import freeze_resnet
+    from hawq_tpu.inference.engine import build_resnet_engine
+
+    cfg = get_bit_config('tiny50', 'uniform8')
+    model = QResNet(arch='tiny50', cfg=cfg, num_classes=10)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 32, 32, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+    for _ in range(2):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        v = {**v, **mut}
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+
+    ref = np.asarray(build_resnet_engine(
+        fm, residual_dtype=jnp.int16)(x))
+    eng_f = build_resnet_engine(fm, residual_dtype=jnp.int16,
+                                input_mode='folded_float32')
+    from hawq_tpu.inference import fold
+    xf = jnp.asarray(fold.fold4_images(np.asarray(x)))
+    got = np.asarray(eng_f(xf))
+    np.testing.assert_array_equal(got, ref)
