@@ -193,22 +193,35 @@ def _load_mixed(name: str) -> Optional[BitConfig]:
         return BitConfig.from_json(f.read())
 
 
+# model archs whose published tables are filed under a different registry
+# name (reference: bit_config_mobilenetv2_w1_*)
+_ARCH_ALIASES = {'mobilenetv2': 'mobilenetv2_w1'}
+
+
 def get_bit_config(arch: str, scheme: str) -> BitConfig:
-    """Lookup: e.g. get_bit_config('resnet50', 'uniform8' | 'bops_0.5' | ...)."""
-    if scheme.startswith('uniform'):
-        if arch.endswith('v2'):
-            return uniform_config_v2(arch[:-2], int(scheme[len('uniform'):]))
-        return uniform_config(arch, int(scheme[len('uniform'):]))
+    """Lookup: e.g. get_bit_config('resnet50', 'uniform8' | 'bops_0.5' | ...).
+
+    Transcribed JSON tables (configs/data/) take precedence; resnet uniforms
+    are generated programmatically (uniform_config / uniform_config_v2)."""
+    arch = _ARCH_ALIASES.get(arch, arch)
     cfg = _load_mixed(f'{arch}_{scheme}')
-    if cfg is None:
-        raise KeyError(f'no bit config {arch}_{scheme}; available: '
-                       f'{sorted(available_schemes(arch))}')
-    return cfg
+    if cfg is not None:
+        return cfg
+    if scheme.startswith('uniform'):
+        if arch.endswith('v2') and arch[:-2] in RESNET_UNITS:
+            return uniform_config_v2(arch[:-2], int(scheme[len('uniform'):]))
+        if arch in RESNET_UNITS:
+            return uniform_config(arch, int(scheme[len('uniform'):]))
+    raise KeyError(f'no bit config {arch}_{scheme}; available: '
+                   f'{sorted(available_schemes(arch))}')
 
 
 def available_schemes(arch: str) -> Iterator[str]:
-    yield 'uniform8'
-    yield 'uniform4'
+    arch = _ARCH_ALIASES.get(arch, arch)
+    if arch in RESNET_UNITS or (arch.endswith('v2')
+                                and arch[:-2] in RESNET_UNITS):
+        yield 'uniform8'
+        yield 'uniform4'
     if os.path.isdir(_DATA_DIR):
         for fn in os.listdir(_DATA_DIR):
             if fn.startswith(arch + '_') and fn.endswith('.json'):

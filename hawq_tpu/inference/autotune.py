@@ -163,6 +163,82 @@ def autotune_routing(fm: FrozenModel, batch: int = 64,
     return table
 
 
+def autotune_routing_1x1(sites, weight_bits, batch: int = 8,
+                         verbose: bool = True,
+                         checkpoint_path: Optional[str] = None
+                         ) -> Dict[str, str]:
+    """Routing sweep over 1×1-conv site tables (MobileNetV2 / InceptionV3).
+
+    ``sites`` is (key, spatial, cin, cout, epilogue) from
+    inference/routing.py's enumerators; ``weight_bits`` maps key → bits.
+    Unlike ``autotune_routing`` (resnet: 128-aligned channels, direct
+    kernels), each candidate here is timed through the exact
+    ``Routed1x1`` wrapper the engine will call — including the M/K/N
+    zero-padding — so the table reflects end-to-end per-site cost.
+    epilogue 'requant' times the fully fused kernel; 'acc' times the raw
+    accumulator kernel (the engine keeps its XLA epilogue either way)."""
+    import jax
+    import jax.numpy as jnp
+    from bench import time_per_iter
+    from hawq_tpu.inference.routing import Routed1x1
+
+    rng = np.random.RandomState(0)
+    table: Dict[str, str] = {}
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        table = load_routing(checkpoint_path)
+    for key, spatial, cin, cout, epi in sites:
+        if key in table:
+            continue
+        bits = weight_bits(key)
+        qmax = 2 ** (bits - 1) - 1
+        w = rng.randint(-qmax - 1, qmax + 1, (1, 1, cin, cout)
+                        ).astype(np.int8)
+        bias = rng.randint(-2 ** 15, 2 ** 15, (cout,)).astype(np.int32)
+        mult = np.full(cout, 1e-4, np.float32)
+        x = jnp.asarray(rng.randint(-128, 128, (batch, spatial, spatial,
+                                                cin)).astype(np.int8))
+
+        def xla_fn(xi, wj=jnp.asarray(w), b=jnp.asarray(bias),
+                   mlt=jnp.asarray(mult), epi=epi):
+            dn = jax.lax.conv_dimension_numbers(
+                xi.shape, wj.shape, ('NHWC', 'HWIO', 'NHWC'))
+            acc = jax.lax.conv_general_dilated(
+                xi, wj, (1, 1), 'VALID', dimension_numbers=dn,
+                preferred_element_type=jnp.int32) + b
+            if epi == 'acc':
+                return acc
+            out = jnp.floor(jnp.maximum(acc, 0).astype(jnp.float32)
+                            * mlt + 0.5)
+            return jnp.clip(out, -128, 127).astype(jnp.int8)
+
+        candidates = {'xla': jax.jit(xla_fn)}
+
+        def routed_fn(r):
+            if epi == 'acc':
+                return jax.jit(lambda xi, r=r: r.acc(xi))
+            return jax.jit(lambda xi, r=r: r.requant(
+                xi, mult, out_bits=8, signed=True, relu=True))
+
+        candidates['pallas8'] = routed_fn(Routed1x1(w, bias, int4=False))
+        if bits == 4:
+            candidates['pallas4w'] = routed_fn(Routed1x1(w, bias, int4=True))
+
+        times = {}
+        for name, fn in candidates.items():
+            try:
+                times[name] = time_per_iter(fn, x)
+            except Exception:
+                times[name] = float('inf')
+        best = min(times, key=times.get)
+        table[key] = best
+        if checkpoint_path is not None:
+            save_routing(checkpoint_path, table)
+        if verbose:
+            desc = '  '.join(f'{n} {t*1e6:7.1f}us' for n, t in times.items())
+            print(f'{key:45s} -> {best:8s} [{desc}]', flush=True)
+    return table
+
+
 def save_routing(path: str, table: Mapping[str, str]) -> None:
     with open(path, 'w') as f:
         json.dump(dict(table), f, indent=1, sort_keys=True)
@@ -190,15 +266,24 @@ def main():
     args = ap.parse_args()
 
     from hawq_tpu.configs.bit_config import get_bit_config
-    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
 
     cfg = get_bit_config(args.arch, args.scheme)
-    fm = synthetic_frozen_resnet(args.arch, cfg)
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))), 'benchmarks',
         f'routing_{args.arch}_{args.scheme}_b{args.batch}.json')
-    table = autotune_routing(fm, batch=args.batch, checkpoint_path=out)
+    if args.arch in ('mobilenetv2', 'inceptionv3'):
+        from hawq_tpu.inference import routing as rt
+        if args.arch == 'mobilenetv2':
+            sites = rt.mobilenet_conv1x1_sites()
+        else:
+            sites = rt.inception_conv1x1_sites(cfg)
+        table = autotune_routing_1x1(sites, cfg.weight_bits,
+                                     batch=args.batch, checkpoint_path=out)
+    else:
+        from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+        fm = synthetic_frozen_resnet(args.arch, cfg)
+        table = autotune_routing(fm, batch=args.batch, checkpoint_path=out)
     save_routing(out, table)
     print('wrote', out)
 

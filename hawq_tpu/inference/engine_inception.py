@@ -126,12 +126,20 @@ def freeze_inceptionv3(variables: Mapping, cfg: BitConfig,
 # ---------------------------------------------------------------------------
 
 def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
-                             capture: Optional[str] = None):
+                             capture: Optional[str] = None,
+                             routing: Optional[Dict[str, str]] = None):
     """``capture`` truncates at a named node and returns its integer tensor
     (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
-    'fc_input'."""
+    'fc_input'.
+
+    ``routing`` maps 1×1-conv keys to 'xla'|'pallas8'|'pallas4w' (the
+    autotune table): pallas-routed 1×1 stride-1 convs run the fully fused
+    conv→relu→requant Pallas kernel (kernels/matmul.py via
+    inference/routing.py) and stay bit-exact."""
+    from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
+    route = make_router(fm, routing)
 
     captured = {}
 
@@ -152,11 +160,20 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         return _requant(x_int, mult, b, sg, container(b)), np.float32(s)
 
     def incept_conv(h, a_scale, key_prefix, stride, padding):
+        acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
+                     .astype(np.float32) * np.float32(a_scale))
+        s, b, sg = act_info(f'{key_prefix}.q_activ')
+        r = (route(f'{key_prefix}.q_convbn')
+             if stride == 1 and padding == 0 and b <= 8 else None)
+        if r is not None:
+            # fully fused conv → relu → dyadic requant (bit-exact: requant
+            # is monotone with requant(0) == 0, see inference/routing.py)
+            mult = plan.requant_mult(f'{key_prefix}.rq', acc_scale, s)
+            return r.requant(h, mult, out_bits=b, signed=sg,
+                             relu=True), np.float32(s)
         w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
         acc = _conv_i8(h, w8, (stride, stride), _pad(padding)) + b32
         acc = jnp.maximum(acc, 0)           # relu before requant (monotone)
-        acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
-                     .astype(np.float32) * np.float32(a_scale))
         return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
                           f'{key_prefix}.rq')
 

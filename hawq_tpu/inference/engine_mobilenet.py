@@ -41,15 +41,33 @@ def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
 
 def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              residual_dtype=jnp.int32,
-                             capture: Optional[str] = None):
+                             capture: Optional[str] = None,
+                             routing: Optional[dict] = None):
     """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
 
     ``capture`` truncates the graph at a named node and returns its raw
     integer tensor (the debug-unit golden-featuremap mechanism, as in the
     ResNet engine): 'input', 'init', '<unit>.conv1', '<unit>.conv2',
-    '<unit>.quant_act_int32', 'final', 'fc_input'."""
+    '<unit>.quant_act_int32', 'final', 'fc_input'.
+
+    ``routing`` maps 1×1-conv keys to 'xla'|'pallas8'|'pallas4w' (the
+    autotune table, inference/autotune.py): pallas-routed convs run the
+    fused kernels from kernels/matmul.py via the `*_acc` variants — the
+    ReLU6/residual epilogues stay XLA (see inference/routing.py) — and
+    remain bit-exact."""
+    from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
+    route = make_router(fm, routing)
+
+    def conv1x1_acc(x8, key):
+        """1×1 conv + int32 bias: pallas-routed or XLA."""
+        r = route(key)
+        if r is not None:
+            return r.acc(x8)
+        w8, b32 = plan.conv(key)
+        return _conv_i8(x8, w8, (1, 1), 'VALID') + b32
+
     s_in = fm.act_scale('quant_input')
 
     def act_info(key):
@@ -91,8 +109,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 xa = _requant(x, mult, ba, sga)
 
                 # expansion 1×1 → relu6 → requant
-                w8, b32 = plan.conv(f'{p}.conv1')
-                acc = _conv_i8(xa, w8, (1, 1), 'VALID') + b32
+                acc = conv1x1_acc(xa, f'{p}.conv1')
                 acc_scale = (fm[f'{p}.conv1.weight_scale'].astype(np.float32)
                              * np.float32(sa))
                 acc = _relu6_clip(acc, acc_scale)
@@ -116,8 +133,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 emit(f'{p}.conv2', h)
 
                 # linear projection 1×1 (no activation)
-                w8, b32 = plan.conv(f'{p}.conv3')
-                acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
+                acc = conv1x1_acc(h, f'{p}.conv3')
                 acc_scale = (fm[f'{p}.conv3.weight_scale'].astype(np.float32)
                              * np.float32(sa2))
 
@@ -140,8 +156,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         sa, ba, sga = act_info('quant_act_before_final_block')
         mult = plan.requant_mult('final_in', prev_scale, sa)
         xa = _requant(x, mult, ba, sga)
-        w8, b32 = plan.conv('features.final_block')
-        acc = _conv_i8(xa, w8, (1, 1), 'VALID') + b32
+        acc = conv1x1_acc(xa, 'features.final_block')
         acc_scale = (fm['features.final_block.weight_scale']
                      .astype(np.float32) * np.float32(sa))
         acc = _relu6_clip(acc, acc_scale)
