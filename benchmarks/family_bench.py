@@ -1,0 +1,116 @@
+"""MobileNetV2 / InceptionV3 integer-engine latency benchmark (batch 8).
+
+Extends the measured-artifact coverage beyond ResNet (the reference only
+benches resnets, /root/reference/run_resnet_inference_time.sh; its
+mobilenet/inception ship as graphs without timing artifacts) — one JSON per
+run with per-scheme latency, throughput, deployed size, and the measured
+routing table's effect (XLA vs autotuned pallas routing).
+
+Run (TPU, one process at a time):
+    timeout 590 python -u benchmarks/family_bench.py --batch 8
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def deployed_bytes(fm) -> int:
+    """True bit-packed parameter bytes (int4 weights count 0.5 B each)."""
+    total = 0
+    for k, v in fm.tensors.items():
+        if k.endswith('.weight_int'):
+            key = k[:-len('.weight_int')]
+            bits = fm.cfg.weight_bits(key)
+            total += int(np.prod(np.shape(v))) * bits // 8
+        elif k.endswith('.bias_int'):
+            total += int(np.prod(np.shape(v))) * 4
+        elif k.endswith('_scale'):
+            total += int(np.prod(np.shape(v))) * 4
+    return total
+
+
+def main():
+    import jax.numpy as jnp
+    from bench import time_per_iter
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.autotune import load_routing
+    from hawq_tpu.inference.synthetic import (synthetic_frozen_mobilenet,
+                                              synthetic_frozen_inception)
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+    from hawq_tpu.inference.engine_inception import build_inceptionv3_engine
+    from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--batch', type=int, default=8)
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args()
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    out_path = args.out or os.path.join(
+        bench_dir, f'family_bench_b{args.batch}.json')
+
+    rng = np.random.RandomState(0)
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+
+    def record(name, fn, x, fm):
+        if name in results:
+            print(f'{name}: cached', flush=True)
+            return
+        t = time_per_iter(fn, x)
+        results[name] = {
+            'ms_per_batch': round(t * 1e3, 3),
+            'images_per_sec': round(args.batch / t, 1),
+            'deployed_mb': round(deployed_bytes(fm) / 2 ** 20, 2),
+        }
+        with open(out_path, 'w') as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f'{name}: {results[name]}', flush=True)
+
+    for scheme in ('uniform8', 'uniform4'):
+        # --- MobileNetV2, 224x224
+        cfg = get_bit_config('mobilenetv2', scheme)
+        fm = synthetic_frozen_mobilenet(cfg)
+        x = jnp.asarray(rng.rand(args.batch, 224, 224, 3)
+                        .astype(np.float32))
+        eng = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES)
+        record(f'mobilenetv2_{scheme}', eng, x, fm)
+        rpath = os.path.join(bench_dir,
+                             f'routing_mobilenetv2_{scheme}_b{args.batch}'
+                             '.json')
+        if os.path.exists(rpath):
+            routing = load_routing(rpath)
+            if any(v != 'xla' for v in routing.values()):
+                eng_r = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES,
+                                                 routing=routing)
+                record(f'mobilenetv2_{scheme}_routed', eng_r, x, fm)
+
+        # --- InceptionV3, 299x299
+        cfg = get_bit_config('inceptionv3', scheme)
+        fm = synthetic_frozen_inception(cfg)
+        xi = jnp.asarray(rng.rand(args.batch, 299, 299, 3)
+                         .astype(np.float32))
+        eng = build_inceptionv3_engine(fm)
+        record(f'inceptionv3_{scheme}', eng, xi, fm)
+        rpath = os.path.join(bench_dir,
+                             f'routing_inceptionv3_{scheme}_b{args.batch}'
+                             '.json')
+        if os.path.exists(rpath):
+            routing = load_routing(rpath)
+            if any(v != 'xla' for v in routing.values()):
+                eng_r = build_inceptionv3_engine(fm, routing=routing)
+                record(f'inceptionv3_{scheme}_routed', eng_r, xi, fm)
+
+    print(json.dumps(results, indent=1, sort_keys=True))
+    print('wrote', out_path)
+
+
+if __name__ == '__main__':
+    main()
