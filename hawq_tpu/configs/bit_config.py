@@ -43,7 +43,9 @@ RESNET_UNITS = {
     'resnet18': (2, 2, 2, 2),
     'resnet50': (3, 4, 6, 3),
     'resnet50b': (3, 4, 6, 3),
+    'resnet34': (3, 4, 6, 3),
     'resnet101': (3, 4, 23, 3),
+    'resnet152': (3, 8, 36, 3),
     'tiny18': (1, 2),
     'tiny50': (1, 2),
     # wide50: MXU-aligned channels at tiny depth — exercises the pallas
@@ -51,9 +53,9 @@ RESNET_UNITS = {
     'wide50': (1, 1),
 }
 # Basic blocks have 2 convs, bottlenecks 3.
-RESNET_CONVS_PER_UNIT = {'resnet18': 2, 'resnet50': 3, 'resnet50b': 3,
-                         'resnet101': 3, 'tiny18': 2, 'tiny50': 3,
-                         'wide50': 3}
+RESNET_CONVS_PER_UNIT = {'resnet18': 2, 'resnet34': 2, 'resnet50': 3,
+                         'resnet50b': 3, 'resnet101': 3, 'resnet152': 3,
+                         'tiny18': 2, 'tiny50': 3, 'wide50': 3}
 
 
 @dataclasses.dataclass(frozen=True)

@@ -36,9 +36,11 @@ from hawq_tpu.nn import layers as L
 # (mid_channels_stage1.., out_channels_stage1..) per arch
 _STAGE_CHANNELS = {
     'resnet18': (None, (64, 128, 256, 512)),
+    'resnet34': (None, (64, 128, 256, 512)),
     'resnet50': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'resnet50b': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'resnet101': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
+    'resnet152': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'tiny18': (None, (16, 32)),
     'tiny50': ((8, 16), (32, 64)),
     'wide50': ((128, 128), (256, 256)),
