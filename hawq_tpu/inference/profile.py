@@ -116,24 +116,51 @@ def main():
     ap.add_argument('--points', default=None,
                     help='comma list of capture points (default per-stage)')
     ap.add_argument('--input-mode', default='float32')
+    ap.add_argument('--trace', default=None, metavar='DIR',
+                    help='also capture a jax.profiler trace of the full '
+                         'engine to DIR (the TVM debug_runtime dump analog; '
+                         'view with tensorboard/xprof)')
+    ap.add_argument('--trace-iters', type=int, default=8)
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from hawq_tpu.configs.bit_config import get_bit_config
-    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
 
     cfg = get_bit_config(args.arch, args.scheme)
-    fm = synthetic_frozen_resnet(args.arch, cfg)
     rng = np.random.RandomState(0)
-    x = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
-    if args.input_mode.startswith('folded'):
-        from hawq_tpu.inference.fold import fold4_images
-        x = fold4_images(x)
+    kwargs = {}
+    if args.arch == 'mobilenetv2':
+        from hawq_tpu.inference.synthetic import synthetic_frozen_mobilenet
+        fm = synthetic_frozen_mobilenet(cfg)
+        x = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
+    elif args.arch == 'inceptionv3':
+        from hawq_tpu.inference.synthetic import synthetic_frozen_inception
+        fm = synthetic_frozen_inception(cfg)
+        x = rng.rand(args.batch, 299, 299, 3).astype(np.float32)
+    else:
+        from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+        fm = synthetic_frozen_resnet(args.arch, cfg)
+        x = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
+        if args.input_mode.startswith('folded'):
+            from hawq_tpu.inference.fold import fold4_images
+            x = fold4_images(x)
+        kwargs = dict(residual_dtype=jnp.int16, input_mode=args.input_mode)
     x = jnp.asarray(x)
     points = args.points.split(',') if args.points else None
-    profile_engine(fm, x, points=points, residual_dtype=jnp.int16,
-                   input_mode=args.input_mode)
+    profile_engine(fm, x, points=points, **kwargs)
+
+    if args.trace:
+        eng = _engine_builder(fm)(fm, **kwargs)
+        np.asarray(eng(x))                      # compile + warm
+        try:
+            with jax.profiler.trace(args.trace):
+                for _ in range(args.trace_iters):
+                    np.asarray(eng(x))
+            print(f'trace written to {args.trace}', flush=True)
+        except Exception as e:                  # remote-tunnel backends may
+            print(f'trace capture unavailable: {e}', flush=True)  # not trace
 
 
 if __name__ == '__main__':

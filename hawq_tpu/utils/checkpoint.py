@@ -168,6 +168,107 @@ def import_torch_resnet(state_dict: Mapping[str, Any], arch: str,
     return (nest_two_level(params), nest_two_level(bstats))
 
 
+def import_torch_mobilenetv2(state_dict: Mapping[str, Any], stages,
+                             target_params: Mapping,
+                             target_batch_stats: Mapping
+                             ) -> Tuple[Dict, Dict]:
+    """Map a pytorchcv-style float MobileNetV2 state dict onto QMobileNetV2.
+
+    Naming mirrors the reference wrapper's set_param walk
+    (q_mobilenetv2.py:118-178): features.init_block.{conv,bn},
+    features.stage{i}.unit{j}.conv{1,2,3}.{conv,bn}, features.final_block,
+    and a 1×1-conv output head.  Conv weights transpose OIHW→HWIO (the
+    depthwise conv2's (C,1,3,3) lands as (3,3,1,C))."""
+    params = {k: dict(v) if isinstance(v, Mapping) else v
+              for k, v in flatten_to_mutable(target_params).items()}
+    bstats = {k: dict(v) if isinstance(v, Mapping) else v
+              for k, v in flatten_to_mutable(target_batch_stats).items()}
+
+    def put_convbn(dst: str, src: str):
+        params[dst]['kernel'] = np.transpose(
+            np.asarray(state_dict[src + 'conv.weight']), (2, 3, 1, 0))
+        params[dst]['gamma'] = np.asarray(state_dict[src + 'bn.weight'])
+        params[dst]['beta'] = np.asarray(state_dict[src + 'bn.bias'])
+        bstats[dst]['mean'] = np.asarray(
+            state_dict[src + 'bn.running_mean'])
+        bstats[dst]['var'] = np.asarray(state_dict[src + 'bn.running_var'])
+
+    put_convbn('init_block', 'features.init_block.')
+    for i, stage in enumerate(stages, start=1):
+        for j, _ in enumerate(stage, start=1):
+            for c in (1, 2, 3):
+                put_convbn(f'stage{i}_unit{j}/conv{c}',
+                           f'features.stage{i}.unit{j}.conv{c}.')
+    put_convbn('final_block', 'features.final_block.')
+
+    params['output']['kernel'] = np.transpose(
+        np.asarray(state_dict['output.weight']), (2, 3, 1, 0))
+    params['output']['bias'] = np.asarray(state_dict['output.bias'])
+    return (nest_two_level(params), nest_two_level(bstats))
+
+
+def import_torch_inceptionv3(state_dict: Mapping[str, Any], cfg: BitConfig,
+                             target_params: Mapping,
+                             target_batch_stats: Mapping,
+                             width_div: int = 1) -> Tuple[Dict, Dict]:
+    """Map a pytorchcv-style float InceptionV3 state dict onto QInceptionV3.
+
+    Naming mirrors the reference wrapper's set_param walk
+    (q_inceptionv3.py:46, 245-311, 690-730): features.init_block.conv{1..5},
+    features.stage{i}.unit{j}.branches.branch{k} with per-branch conv /
+    conv_list.conv{n} / conv1x3 / conv3x1 ConvBlocks, and output.fc.
+    Walks the same build_unit branch specs the model/freezer/engine share."""
+    from hawq_tpu.models.inceptionv3 import (
+        INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
+        _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch)
+
+    params = {k: dict(v) if isinstance(v, Mapping) else v
+              for k, v in flatten_to_mutable(target_params).items()}
+    bstats = {k: dict(v) if isinstance(v, Mapping) else v
+              for k, v in flatten_to_mutable(target_batch_stats).items()}
+
+    def put_convbn(dst: str, src: str):
+        params[dst]['kernel'] = np.transpose(
+            np.asarray(state_dict[src + 'conv.weight']), (2, 3, 1, 0))
+        params[dst]['gamma'] = np.asarray(state_dict[src + 'bn.weight'])
+        params[dst]['beta'] = np.asarray(state_dict[src + 'bn.bias'])
+        bstats[dst]['mean'] = np.asarray(
+            state_dict[src + 'bn.running_mean'])
+        bstats[dst]['var'] = np.asarray(state_dict[src + 'bn.running_var'])
+
+    for c in range(1, 6):
+        put_convbn(f'q_conv{c}/q_convbn', f'features.init_block.conv{c}.')
+
+    b_idx = 0
+    for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
+        for j, out_ch in enumerate(stage, start=1):
+            unit = build_unit(cfg, i, j, out_ch, b_idx, width_div=width_div)
+            if i == 2 and j != 1:
+                b_idx += 1
+            mod = f'stage{i}_unit{j}'
+            for name, ctor, kwargs in unit.branch_defs:
+                src_b = f'features.stage{i}.unit{j}.branches.{name}.'
+                dst_b = f'{mod}/{name}'
+                if ctor in (_Conv1x1Branch, _AvgPoolBranch):
+                    put_convbn(f'{dst_b}/q_conv/q_convbn', src_b + 'conv.')
+                elif ctor is _MaxPoolBranch:
+                    pass
+                else:                       # _ConvSeqBranch / _ConvSeq3x3
+                    for c in range(1, len(kwargs['out_channels']) + 1):
+                        put_convbn(f'{dst_b}/q_conv{c}/q_convbn',
+                                   src_b + f'conv_list.conv{c}.')
+                    if ctor is _ConvSeq3x3Branch:
+                        put_convbn(f'{dst_b}/q_conv1x3/q_convbn',
+                                   src_b + 'conv1x3.')
+                        put_convbn(f'{dst_b}/q_conv3x1/q_convbn',
+                                   src_b + 'conv3x1.')
+
+    params['q_fc']['kernel'] = np.transpose(
+        np.asarray(state_dict['output.fc.weight']), (1, 0))
+    params['q_fc']['bias'] = np.asarray(state_dict['output.fc.bias'])
+    return (nest_two_level(params), nest_two_level(bstats))
+
+
 def flatten_to_mutable(tree: Mapping) -> Dict[str, Dict]:
     """Two-level view: {'stage1_unit1/quant_convbn1': {...leaf dict...}}."""
     out: Dict[str, Dict] = {}
