@@ -46,16 +46,23 @@ def main(argv=None):
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from hawq_tpu.configs.bit_config import get_bit_config
-    from hawq_tpu.models.resnet import QResNet
     from hawq_tpu.sensitivity.hessian import (hutchinson_layer_traces,
                                               conv_layer_traces)
     from hawq_tpu.sensitivity.ilp import (resnet_layer_costs, allocate_bits,
-                                          allocation_to_bit_config)
+                                          allocation_to_bit_config,
+                                          mobilenet_layer_costs,
+                                          mobilenet_allocation_to_bit_config)
     from hawq_tpu.train.train import cross_entropy
     from hawq_tpu.utils import checkpoint as ckpt
 
     cfg8 = get_bit_config(args.arch, 'uniform8')
-    model = QResNet(arch=args.arch, cfg=cfg8, num_classes=args.num_classes)
+    if args.arch == 'mobilenetv2':
+        from hawq_tpu.models.mobilenetv2 import QMobileNetV2
+        model = QMobileNetV2(cfg=cfg8, num_classes=args.num_classes)
+    else:
+        from hawq_tpu.models.resnet import QResNet
+        model = QResNet(arch=args.arch, cfg=cfg8,
+                        num_classes=args.num_classes)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size, 3)
                     .astype(np.float32))
@@ -84,13 +91,23 @@ def main(argv=None):
         with open(lut_path) as f:
             lut = {k: tuple(v) for k, v in json.load(f).items()}
 
-    costs = resnet_layer_costs(args.arch, variables['params'], traces,
-                               input_size=args.image_size, latency_lut=lut)
+    if args.arch == 'mobilenetv2':
+        costs = mobilenet_layer_costs(variables['params'], traces,
+                                      input_size=args.image_size,
+                                      latency_lut=lut)
+    else:
+        costs = resnet_layer_costs(args.arch, variables['params'], traces,
+                                   input_size=args.image_size,
+                                   latency_lut=lut)
     print(f'{len(costs)} quantizable layers; solving {args.mode} '
           f'@ {args.fraction}...', flush=True)
     alloc = allocate_bits(costs, args.mode, args.fraction)
-    bit_cfg = allocation_to_bit_config(
-        args.arch, alloc, f'{args.mode}_{args.fraction}_generated')
+    if args.arch == 'mobilenetv2':
+        bit_cfg = mobilenet_allocation_to_bit_config(
+            alloc, f'{args.mode}_{args.fraction}_generated')
+    else:
+        bit_cfg = allocation_to_bit_config(
+            args.arch, alloc, f'{args.mode}_{args.fraction}_generated')
 
     n4 = sum(1 for v in alloc.bits.values() if v == 4)
     print(f'allocation: {n4}/{len(alloc.bits)} layers at 4 bit; '

@@ -171,6 +171,78 @@ def resnet_layer_costs(arch: str, params: Mapping, traces: Mapping[str, float],
     return layers
 
 
+def mobilenet_layer_costs(params: Mapping, traces: Mapping[str, float],
+                          stages=None, input_size: int = 224,
+                          latency_lut: Optional[Mapping[str,
+                                                        Tuple[float, float]]]
+                          = None) -> List[LayerCost]:
+    """LayerCost entries for a QMobileNetV2's unit convs.
+
+    The reference ships ILP-derived mobilenetv2_w1 modelsize/bops tables
+    (bit_config.py:3604-4053) but generates them offline; this builds the
+    same allocator inputs from a trained params tree.  Init block, final
+    block, and the output head are excluded (always 8-bit, per the
+    published tables).  conv1 runs at the unit's input resolution,
+    conv2 (depthwise, strided) and conv3 at the output resolution.
+    """
+    from hawq_tpu.sensitivity.hessian import quantization_perturbation
+    from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+    stages = MOBILENETV2_STAGES if stages is None else stages
+
+    layers: List[LayerCost] = []
+    spatial = input_size // 2                  # after init conv s2
+    for i, stage in enumerate(stages, start=1):
+        for j, _ in enumerate(stage, start=1):
+            mod = f'stage{i}_unit{j}'
+            p = f'features.stage{i}.unit{j}'
+            stride = 2 if (j == 1 and i != 1) else 1
+            sp_in, sp_out = spatial, spatial // stride
+            for c, sp in ((1, sp_in), (2, sp_out), (3, sp_out)):
+                kernel = np.asarray(params[mod][f'conv{c}']['kernel'])
+                kh, kw, cin, cout = kernel.shape
+                # depthwise conv2: HWIO (3,3,1,C), one MAC chain per channel
+                macs = kh * kw * cin * cout * sp * sp
+                key = f'{p}.conv{c}'
+                lat = (latency_lut or {}).get(key, (0.0, 0.0))
+                layers.append(LayerCost(
+                    key=key,
+                    trace=float(traces.get(f'{mod}/conv{c}', 1.0)),
+                    delta_w4=quantization_perturbation(kernel, 4),
+                    delta_w8=quantization_perturbation(kernel, 8),
+                    params=int(kernel.size),
+                    macs=float(macs),
+                    latency4=lat[0], latency8=lat[1]))
+            spatial = sp_out
+    return layers
+
+
+def mobilenet_allocation_to_bit_config(alloc: AllocationResult,
+                                       scheme_name: str,
+                                       stages=None) -> BitConfig:
+    """Expand mobilenet conv choices into a full table: each quant_act
+    follows the conv it feeds (the published-table convention —
+    mobilenetv2_w1_bops_0.5), residual/requant nodes 16, init/final/head 8."""
+    from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+    stages = MOBILENETV2_STAGES if stages is None else stages
+    table: Dict[str, int] = {
+        'quant_input': 8, 'init_block': 8, 'quant_act_int32': 16,
+        'quant_act_before_final_block': 8, 'features.final_block': 8,
+        'quant_act_int32_final': 16, 'quant_act_output': 8, 'output': 8}
+    for i, stage in enumerate(stages, start=1):
+        for j, _ in enumerate(stage, start=1):
+            p = f'features.stage{i}.unit{j}'
+            bits = [alloc.bits.get(f'{p}.conv{c}', 8) for c in (1, 2, 3)]
+            table[f'{p}.quant_act'] = bits[0]
+            table[f'{p}.conv1'] = bits[0]
+            table[f'{p}.quant_act1'] = bits[1]
+            table[f'{p}.conv2'] = bits[1]
+            table[f'{p}.quant_act2'] = bits[2]
+            table[f'{p}.conv3'] = bits[2]
+            table[f'{p}.quant_act_int32'] = 16
+    return BitConfig(name=f'mobilenetv2_w1_{scheme_name}', table=table,
+                     settings=QuantSettings())
+
+
 def published_ilp_inputs(arch: str) -> List[LayerCost]:
     """LayerCost list from the reference's published measured arrays.
 

@@ -208,3 +208,53 @@ def test_ilp_regenerates_published_configs():
                                                agree, total)
                 if frac == 0.5:
                     assert agree == total, (arch, mode_name, agree, total)
+
+
+def test_mobilenet_ilp_end_to_end():
+    """mobilenet_layer_costs → allocate_bits → bit config: key namespace
+    equals the published mobilenetv2_w1 tables' (restricted to the tiny
+    stages), extremes give uniform assignments, and the mid-fraction
+    allocation respects its budget."""
+    import jax
+    import jax.numpy as jnp
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    from hawq_tpu.models.mobilenetv2 import (QMobileNetV2, TINY_MNV2_STAGES,
+                                             TINY_MNV2_INIT_CH,
+                                             TINY_MNV2_FINAL_CH)
+    from hawq_tpu.sensitivity.ilp import (mobilenet_layer_costs,
+                                          mobilenet_allocation_to_bit_config,
+                                          allocate_bits)
+
+    cfg = BitConfig(name='t', table={}, settings=QuantSettings())
+    model = QMobileNetV2(cfg=cfg, num_classes=8, stages=TINY_MNV2_STAGES,
+                         init_ch=TINY_MNV2_INIT_CH,
+                         final_ch=TINY_MNV2_FINAL_CH)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   folded=True, update_stats=True)
+    layers = mobilenet_layer_costs(v['params'], traces={},
+                                   stages=TINY_MNV2_STAGES, input_size=32)
+    assert len(layers) == 3 * sum(len(s) for s in TINY_MNV2_STAGES)
+    # depthwise conv2 of stage2.unit1 strides: macs at the output spatial
+    dw = next(l for l in layers
+              if l.key == 'features.stage2.unit1.conv2')
+    assert dw.macs == 9 * 1 * 48 * 8 * 8        # 3x3 dw, mid=48, 8x8 out
+
+    all8 = allocate_bits(layers, 'model_size', 1.0)
+    all4 = allocate_bits(layers, 'model_size', 0.0)
+    assert set(all8.bits.values()) == {8}
+    assert set(all4.bits.values()) == {4}
+
+    mid = allocate_bits(layers, 'bops', 0.5)
+    assert mid.resource_used <= mid.resource_limit + 1e-6
+    cfg_mid = mobilenet_allocation_to_bit_config(mid, 'bops_0.5_test',
+                                                 stages=TINY_MNV2_STAGES)
+    # key namespace matches the published tables' (tiny-stage subset)
+    import json, os
+    pub = json.load(open(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        'hawq_tpu', 'configs', 'data', 'mobilenetv2_w1_bops_0.5.json')))
+    assert set(cfg_mid.table) <= set(pub['table'])
+    # acts follow their consuming convs
+    for p in ('features.stage1.unit1', 'features.stage2.unit2'):
+        assert cfg_mid.table[f'{p}.quant_act'] == cfg_mid.table[f'{p}.conv1']
+        assert cfg_mid.table[f'{p}.quant_act2'] == cfg_mid.table[f'{p}.conv3']
