@@ -47,6 +47,71 @@ def synthetic_batches(batch_size: int, image_size: int = 224,
 
 
 # ---------------------------------------------------------------------------
+# CIFAR-10 (data_utils.py:50-131 getTrainData/getTestData 'cifar10' analog)
+# ---------------------------------------------------------------------------
+
+CIFAR10_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
+CIFAR10_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
+
+
+def _load_cifar10_split(root: str, train: bool
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read the standard python-pickle batch files from a local directory
+    (cifar-10-batches-py layout; this box has no egress, so no download)."""
+    import pickle
+    names = ([f'data_batch_{i}' for i in range(1, 6)] if train
+             else ['test_batch'])
+    images, labels = [], []
+    for name in names:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            alt = os.path.join(root, 'cifar-10-batches-py', name)
+            path = alt if os.path.exists(alt) else path
+        with open(path, 'rb') as f:
+            d = pickle.load(f, encoding='latin1')
+        images.append(np.asarray(d['data'], np.uint8))
+        labels.append(np.asarray(d['labels'], np.int32))
+    x = np.concatenate(images).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return x, np.concatenate(labels)
+
+
+def cifar10_batches(root: str, batch_size: int, *, train: bool,
+                    n_epochs: int = 1, seed: int = 0,
+                    data_percentage: float = 1.0,
+                    process_index: int = 0,
+                    process_count: int = 1) -> Iterator[dict]:
+    """Fixed-shape NHWC float batches: pad-4 random crop + flip (train) or
+    plain normalize (eval), CIFAR mean/std.  Per-host striping as in the
+    ImageFolder pipeline; incomplete trailing batches are dropped."""
+    x, y = _load_cifar10_split(root, train)
+    rng = np.random.RandomState(seed)
+    if data_percentage < 1.0:
+        keep = rng.permutation(len(x))[:max(1, int(len(x) * data_percentage))]
+        x, y = x[keep], y[keep]
+    x, y = x[process_index::process_count], y[process_index::process_count]
+
+    for epoch in range(n_epochs):
+        order = (np.random.RandomState(seed + epoch).permutation(len(x))
+                 if train else np.arange(len(x)))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            batch = x[idx].astype(np.float32) / 255.0
+            if train:
+                padded = np.pad(batch, ((0, 0), (4, 4), (4, 4), (0, 0)),
+                                mode='reflect')
+                out = np.empty_like(batch)
+                for b in range(len(batch)):
+                    dy, dx = rng.randint(0, 9, 2)
+                    img = padded[b, dy:dy + 32, dx:dx + 32]
+                    if rng.rand() < 0.5:
+                        img = img[:, ::-1]
+                    out[b] = img
+                batch = out
+            batch = (batch - CIFAR10_MEAN) / CIFAR10_STD
+            yield {'image': batch, 'label': y[idx].astype(np.int64)}
+
+
+# ---------------------------------------------------------------------------
 # ImageFolder pipeline
 # ---------------------------------------------------------------------------
 

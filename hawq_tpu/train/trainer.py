@@ -60,6 +60,7 @@ class TrainerConfig:
     teacher_checkpoint: Optional[str] = None   # float checkpoint (npz) for KD
     teacher_arch: str = 'resnet101'            # KD teacher (quant_train.py:442)
     data_dir: Optional[str] = None   # None → synthetic data
+    dataset: str = 'imagenet'        # 'imagenet' (ImageFolder) | 'cifar10'
     data_percentage: float = 1.0
     save_path: str = '/tmp/hawq_tpu_run'
     resume: Optional[str] = None
@@ -93,6 +94,13 @@ def _batches(cfg: TrainerConfig, train: bool, epoch: int) -> Iterator[dict]:
         yield from data_lib.synthetic_batches(
             cfg.batch_size, cfg.image_size, cfg.num_classes, n,
             seed=epoch if train else 10_000)
+        return
+    if cfg.dataset == 'cifar10':
+        yield from data_lib.cifar10_batches(
+            cfg.data_dir, cfg.batch_size, train=train, seed=epoch,
+            data_percentage=cfg.data_percentage,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
         return
     split = 'train' if train else 'val'
     loader = data_lib.ImageFolderLoader(

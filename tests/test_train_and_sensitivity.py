@@ -258,3 +258,49 @@ def test_mobilenet_ilp_end_to_end():
     for p in ('features.stage1.unit1', 'features.stage2.unit2'):
         assert cfg_mid.table[f'{p}.quant_act'] == cfg_mid.table[f'{p}.conv1']
         assert cfg_mid.table[f'{p}.quant_act2'] == cfg_mid.table[f'{p}.conv3']
+
+
+def test_cifar10_batches(tmp_path):
+    """Local cifar-10-batches-py pickles → fixed-shape NHWC batches with
+    pad-4 crop/flip augmentation (train) and per-host striping (the
+    data_utils.py:50-131 cifar10 analog)."""
+    import pickle
+    from hawq_tpu.train.data import cifar10_batches, CIFAR10_MEAN, CIFAR10_STD
+
+    rng = np.random.RandomState(0)
+    for name, n in [(f'data_batch_{i}', 20) for i in range(1, 6)] + \
+                   [('test_batch', 24)]:
+        d = {'data': rng.randint(0, 256, (n, 3072)).astype(np.uint8),
+             'labels': rng.randint(0, 10, n).tolist()}
+        with open(tmp_path / name, 'wb') as f:
+            pickle.dump(d, f)
+
+    train = list(cifar10_batches(str(tmp_path), 8, train=True, n_epochs=2))
+    assert len(train) == 2 * (100 // 8)
+    b = train[0]
+    assert b['image'].shape == (8, 32, 32, 3)
+    assert b['image'].dtype == np.float32
+    assert b['label'].shape == (8,)
+
+    ev = list(cifar10_batches(str(tmp_path), 8, train=False))
+    assert len(ev) == 3
+    # eval is deterministic normalize-only: invert it on one pixel
+    with open(tmp_path / 'test_batch', 'rb') as f:
+        raw = pickle.load(f)['data'].reshape(-1, 3, 32, 32
+                                             ).transpose(0, 2, 3, 1)
+    recon = ev[0]['image'][0] * CIFAR10_STD + CIFAR10_MEAN
+    np.testing.assert_allclose(recon, raw[0] / 255.0, atol=1e-6)
+
+    # two-host striping partitions the eval set
+    h0 = list(cifar10_batches(str(tmp_path), 4, train=False,
+                              process_index=0, process_count=2))
+    h1 = list(cifar10_batches(str(tmp_path), 4, train=False,
+                              process_index=1, process_count=2))
+    l0 = np.concatenate([b['label'] for b in h0])
+    l1 = np.concatenate([b['label'] for b in h1])
+    assert len(l0) == len(l1) == 12
+
+    # data_percentage subsets
+    small = list(cifar10_batches(str(tmp_path), 4, train=True,
+                                 data_percentage=0.25))
+    assert len(small) == 25 // 4
