@@ -20,8 +20,11 @@ Dialect (domain 'hawq2qonnx', mirroring the reference's custom domain):
                          (dual-scale residual add, unclamped like the engine)
   Trunc(x)               attr eps                   → trunc(x + eps)
                          (integer average-pool division, quant_utils.py:324)
-Standard-domain ops: Conv (int8 weight + int32 bias initializers), Relu,
-Clip, MaxPool, GlobalAveragePool, Reshape, MatMul, Add, Mul.
+Standard-domain ops: Conv (int8 weight + int32 bias initializers; `group`
+for depthwise), Relu, Min (integer ReLU6: Relu then Min against a
+per-channel round(6/acc_scale) int32 initializer), Clip, MaxPool,
+AveragePool (integer window sum, f32 division — always followed by Trunc),
+GlobalAveragePool, Concat, Reshape, MatMul, Add, Mul.
 
 All activation tensors are integer-valued; the requant multiplies replay in
 float32 (matching the engine's VPU arithmetic exactly), the convolutions in
@@ -111,6 +114,48 @@ class _Builder:
                 dim.dim_value = d
             else:
                 dim.dim_param = d
+
+
+class _GraphCtx:
+    """Shared emission helpers over (_Builder, FrozenModel): activation
+    lookups, dyadic-multiplier initializers, int8 Conv nodes — used by the
+    MobileNetV2/InceptionV3 exporters (the resnet exporter predates it)."""
+
+    def __init__(self, b: '_Builder', fm: FrozenModel):
+        from hawq_tpu.inference.engine import _np_dyadic_multiplier
+        self.b = b
+        self.fm = fm
+        self.cfg = fm.cfg
+        self._dyadic = _np_dyadic_multiplier
+
+    def act_info(self, key):
+        return (float(self.fm.act_scale(key)), self.cfg.act_bits(key),
+                int(self.cfg.act_mode(key) == 'symmetric'))
+
+    def mult_init(self, name, acc_scale, out_scale):
+        ratio = (np.asarray(acc_scale, np.float32)
+                 / np.float32(out_scale)).astype(np.float32)
+        return self.b.init_tensor(name, np.atleast_1d(self._dyadic(ratio)))
+
+    def conv(self, x, key, strides, pads, group: int = 1):
+        """Conv node (HWIO weights, NHWC data) + int32 bias initializer."""
+        w = np.asarray(self.fm[key + '.weight_int'], np.int8)
+        bias = np.asarray(self.fm[key + '.bias_int'], np.int32)
+        wi = self.b.init_tensor(key + '.weight', w)
+        bi = self.b.init_tensor(key + '.bias', bias)
+        return self.b.node('Conv', [x, wi, bi], name=key,
+                           kernel_shape=w.shape[:2], strides=strides,
+                           pads=pads, group=group), w
+
+    def requant(self, x, mult, bits, signed):
+        return self.b.node('Requant', [x, mult], domain=QDOMAIN,
+                           bits=bits, signed=signed)
+
+    def requant_to(self, x, act_key, mult_name, from_scale):
+        """Requant x (at from_scale) to act_key's scale; returns (node, s)."""
+        s, bits, sg = self.act_info(act_key)
+        m = self.mult_init(mult_name + '.mult', from_scale, s)
+        return self.requant(x, m, bits, sg), np.float32(s)
 
 
 def export_qonnx_resnet(fm: FrozenModel, path: str, image_size: int = 224
@@ -249,6 +294,221 @@ def export_qonnx_resnet(fm: FrozenModel, path: str, image_size: int = 224
         f.write(b.model.SerializeToString())
 
 
+def export_qonnx_mobilenetv2(fm: FrozenModel, path: str, stages,
+                             image_size: int = 224) -> None:
+    """Serialize the frozen MobileNetV2 integer graph as an ONNX file.
+
+    Mirrors inference/engine_mobilenet.py's build_mobilenetv2_engine (same
+    dyadic multipliers, same op order) so the replayed file is bit-equal to
+    the engine.  Integer ReLU6 is expressed with standard ops: Relu then
+    Min against a per-channel round_half_up(6 / acc_scale) int32
+    initializer (the exact bound _relu6_clip computes)."""
+    b = _Builder(f'mobilenetv2_{fm.cfg.name}')
+    ctx = _GraphCtx(b, fm)
+    b.io(b.g.input, 'image', ('N', image_size, image_size, 3))
+
+    def relu6(acc, key, acc_scale):
+        hi = np.floor(np.float32(6.0)
+                      / np.asarray(acc_scale, np.float32) + np.float32(0.5))
+        hi = np.minimum(hi, np.float32(2 ** 31 - 1)).astype(np.int64
+                                                            ).astype(np.int32)
+        h = b.node('Relu', [acc])
+        hi_i = b.init_tensor(key + '.relu6_hi', np.atleast_1d(hi))
+        return b.node('Min', [h, hi_i])
+
+    s_in = float(fm.act_scale('quant_input'))
+    si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
+    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+
+    acc, w = ctx.conv(x, 'init_block', (2, 2), (1, 1, 1, 1))
+    acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
+                 * np.float32(s_in))
+    acc = relu6(acc, 'init_block', acc_scale)
+    x, prev_scale = ctx.requant_to(acc, 'quant_act_int32', 'init_rq',
+                                   acc_scale)
+
+    in_ch = w.shape[-1]
+    for i, stage in enumerate(stages, start=1):
+        for j, out_ch in enumerate(stage, start=1):
+            p = f'features.stage{i}.unit{j}'
+            stride = 2 if (j == 1 and i != 1) else 1
+            residual = (in_ch == out_ch) and (stride == 1)
+
+            xa, sa = ctx.requant_to(x, f'{p}.quant_act', f'{p}.in',
+                                    prev_scale)
+            acc, _ = ctx.conv(xa, f'{p}.conv1', (1, 1), (0, 0, 0, 0))
+            acc_scale = (fm[f'{p}.conv1.weight_scale'].astype(np.float32)
+                         * sa)
+            acc = relu6(acc, f'{p}.conv1', acc_scale)
+            h, sa1 = ctx.requant_to(acc, f'{p}.quant_act1', f'{p}.a1',
+                                    acc_scale)
+
+            mid = fm[f'{p}.conv2.weight_int'].shape[-1]
+            acc, _ = ctx.conv(h, f'{p}.conv2', (stride, stride),
+                              (1, 1, 1, 1), group=mid)
+            acc_scale = (fm[f'{p}.conv2.weight_scale'].astype(np.float32)
+                         * sa1)
+            acc = relu6(acc, f'{p}.conv2', acc_scale)
+            h, sa2 = ctx.requant_to(acc, f'{p}.quant_act2', f'{p}.a2',
+                                    acc_scale)
+
+            acc, _ = ctx.conv(h, f'{p}.conv3', (1, 1), (0, 0, 0, 0))
+            acc_scale = (fm[f'{p}.conv3.weight_scale'].astype(np.float32)
+                         * sa2)
+
+            s_out, b_out, sg_out = ctx.act_info(f'{p}.quant_act_int32')
+            mm = ctx.mult_init(f'{p}.res_main.mult', acc_scale, s_out)
+            if residual:
+                mi = ctx.mult_init(f'{p}.res_id.mult', prev_scale, s_out)
+                x = b.node('RequantAdd', [acc, mm, x, mi], domain=QDOMAIN)
+            else:
+                x = ctx.requant(acc, mm, b_out, sg_out)
+            prev_scale = np.float32(s_out)
+            in_ch = out_ch
+
+    xa, sa = ctx.requant_to(x, 'quant_act_before_final_block', 'final_in',
+                            prev_scale)
+    acc, _ = ctx.conv(xa, 'features.final_block', (1, 1), (0, 0, 0, 0))
+    acc_scale = (fm['features.final_block.weight_scale'].astype(np.float32)
+                 * sa)
+    acc = relu6(acc, 'features.final_block', acc_scale)
+    x, sf = ctx.requant_to(acc, 'quant_act_int32_final', 'final_rq',
+                           acc_scale)
+
+    x = b.node('GlobalAveragePool', [x])
+    x = b.node('Trunc', [x], domain=QDOMAIN, eps=0.01)
+    f8, so = ctx.requant_to(x, 'quant_act_output', 'out_rq', sf)
+
+    w8 = np.asarray(fm['output.weight_int'], np.int8)   # (1,1,C,O) conv head
+    w2d = w8.reshape(w8.shape[2], w8.shape[3])
+    wfc = b.init_tensor('output.weight', w2d)
+    bfc = b.init_tensor('output.bias',
+                        np.asarray(fm['output.bias_int'], np.int32))
+    acc = b.node('MatMul', [f8, wfc])
+    acc = b.node('Add', [acc, bfc])
+    out_scale = fm['output.weight_scale'].astype(np.float32) * so
+    so_i = b.init_tensor('output.scale', np.atleast_1d(out_scale))
+    logits = b.node('Mul', [acc, so_i], name='logits')
+    b.io(b.g.output, logits, ('N', w2d.shape[1]))
+
+    with open(path, 'wb') as f:
+        f.write(b.model.SerializeToString())
+
+
+def export_qonnx_inceptionv3(fm: FrozenModel, path: str, width_div: int = 1,
+                             image_size: int = 299) -> None:
+    """Serialize the frozen InceptionV3 integer graph as an ONNX file.
+
+    Mirrors inference/engine_inception.py's build_inceptionv3_engine: each
+    branch is requantized to the unit's shared scale before a standard
+    Concat node (the multi-branch concat requant).  The integer 3×3
+    average pool is AveragePool (window sum, f32 division) followed by
+    Trunc(eps=0.01) — exactly the engine's trunc(sum/9 + 0.01)."""
+    from hawq_tpu.inference.engine_inception import _units
+    from hawq_tpu.models.inceptionv3 import (
+        _Conv1x1Branch, _ConvSeqBranch, _MaxPoolBranch, _AvgPoolBranch,
+        _ConvSeq3x3Branch)
+
+    cfg = fm.cfg
+    b = _Builder(f'inceptionv3_{cfg.name}')
+    ctx = _GraphCtx(b, fm)
+    b.io(b.g.input, 'image', ('N', image_size, image_size, 3))
+
+    def pads4(p):
+        if isinstance(p, int):
+            return (p, p, p, p)
+        return (p[0], p[1], p[0], p[1])
+
+    def maxpool(h):
+        return b.node('MaxPool', [h], kernel_shape=(3, 3), strides=(2, 2),
+                      pads=(0, 0, 0, 0))
+
+    def incept_conv(h, a, key_prefix, stride, padding):
+        acc, _ = ctx.conv(h, f'{key_prefix}.q_convbn', (stride, stride),
+                          pads4(padding))
+        acc = b.node('Relu', [acc])        # relu before requant (monotone)
+        acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
+                     .astype(np.float32) * np.float32(a))
+        return ctx.requant_to(acc, f'{key_prefix}.q_activ',
+                              f'{key_prefix}.rq', acc_scale)
+
+    ip = 'features.q_init_block'
+    s_in, b_in, _ = ctx.act_info(f'{ip}.q_input_activ')
+    si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
+    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=b_in,
+               signed=1)
+    s = np.float32(s_in)
+    strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
+    pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
+    for c in range(1, 6):
+        x, s = incept_conv(x, s, f'{ip}.q_conv{c}', strides[c], pads[c])
+        if c in (3, 5):
+            x = maxpool(x)
+
+    for i, j, unit in _units(cfg, width_div):
+        p = unit.prefix
+        outs, scales = [], []
+        for name, ctor, kwargs in unit.branch_defs:
+            bp = f'{p}.branches.{name}'
+            h, a = ctx.requant_to(x, f'{bp}.q_input_act', f'{bp}.in', s)
+            if ctor is _Conv1x1Branch:
+                h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
+            elif ctor is _ConvSeqBranch:
+                for c, (st_, pd) in enumerate(
+                        zip(kwargs['strides'], kwargs['paddings']), start=1):
+                    h, a = incept_conv(h, a, f'{bp}.q_conv_list.q_conv{c}',
+                                       st_, pd)
+            elif ctor is _MaxPoolBranch:
+                h = maxpool(h)
+            elif ctor is _AvgPoolBranch:
+                h = b.node('AveragePool', [h], kernel_shape=(3, 3),
+                           strides=(1, 1), pads=(1, 1, 1, 1))
+                h = b.node('Trunc', [h], domain=QDOMAIN, eps=0.01)
+                h, a = ctx.requant_to(h, f'{bp}.q_pool_act', f'{bp}.pool', a)
+                h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
+            elif ctor is _ConvSeq3x3Branch:
+                for c, (st_, pd) in enumerate(
+                        zip(kwargs['strides'], kwargs['paddings']), start=1):
+                    h, a = incept_conv(h, a, f'{bp}.q_conv_list.q_conv{c}',
+                                       st_, pd)
+                y1, a1 = incept_conv(h, a, f'{bp}.q_conv1x3', 1, (0, 1))
+                y2, a2 = incept_conv(h, a, f'{bp}.q_conv3x1', 1, (1, 0))
+                r1, ssub = ctx.requant_to(y1, f'{bp}.q_rescaling_activ',
+                                          f'{bp}.rs1', a1)
+                r2, _ = ctx.requant_to(y2, f'{bp}.q_rescaling_activ',
+                                       f'{bp}.rs2', a2)
+                h = b.node('Concat', [r1, r2], axis=3)
+                a = ssub
+            outs.append(h)
+            scales.append(a)
+
+        # concat requant: each branch to the unit's shared scale
+        pieces, s_unit = [], None
+        for bi, (h, a) in enumerate(zip(outs, scales)):
+            r, s_unit = ctx.requant_to(h, f'{p}.q_rescaling_activ',
+                                       f'{p}.cat{bi}', a)
+            pieces.append(r)
+        x = b.node('Concat', pieces, axis=3)
+        s = s_unit
+
+    x = b.node('GlobalAveragePool', [x])
+    x = b.node('Trunc', [x], domain=QDOMAIN, eps=0.01)
+    f8, s_fc = ctx.requant_to(x, 'features.q_concat_activ', 'fc_in', s)
+    wfc = b.init_tensor('output.weight',
+                        np.asarray(fm['output.q_fc.weight_int'], np.int8))
+    bfc = b.init_tensor('output.bias',
+                        np.asarray(fm['output.q_fc.bias_int'], np.int32))
+    acc = b.node('MatMul', [f8, wfc])
+    acc = b.node('Add', [acc, bfc])
+    out_scale = fm['output.q_fc.weight_scale'].astype(np.float32) * s_fc
+    so = b.init_tensor('output.scale', np.atleast_1d(out_scale))
+    logits = b.node('Mul', [acc, so], name='logits')
+    b.io(b.g.output, logits, ('N', fm['output.q_fc.weight_int'].shape[1]))
+
+    with open(path, 'wb') as f:
+        f.write(b.model.SerializeToString())
+
+
 # ---------------------------------------------------------------------------
 # replay interpreter
 # ---------------------------------------------------------------------------
@@ -267,9 +527,18 @@ def load_qonnx(path: str):
     return m
 
 
-def _conv_int(x: np.ndarray, w: np.ndarray, bias: np.ndarray, strides, pads
-              ) -> np.ndarray:
+def _conv_int(x: np.ndarray, w: np.ndarray, bias: np.ndarray, strides, pads,
+              group: int = 1) -> np.ndarray:
     """Exact int64 NHWC/HWIO convolution (im2col, small models only)."""
+    if group != 1:
+        cpg = w.shape[2]                   # in-channels per group
+        opg = w.shape[3] // group          # out-channels per group
+        outs = [
+            _conv_int(x[..., g * cpg:(g + 1) * cpg],
+                      w[..., g * opg:(g + 1) * opg],
+                      bias[g * opg:(g + 1) * opg], strides, pads)
+            for g in range(group)]
+        return np.concatenate(outs, axis=-1)
     x = x.astype(np.int64)
     w = w.astype(np.int64)
     kh, kw, cin, cout = w.shape
@@ -330,7 +599,8 @@ def replay_qonnx(model, image: np.ndarray) -> np.ndarray:
             hi = 2 ** (at['bitwidth'] - 1) - 1
             out = np.clip(q, -hi - 1, hi).astype(np.int64)
         elif op == 'Conv':
-            out = _conv_int(ins[0], ins[1], ins[2], at['strides'], at['pads'])
+            out = _conv_int(ins[0], ins[1], ins[2], at['strides'],
+                            at['pads'], at.get('group', 1))
         elif op == 'Requant':
             out = _requant_np(ins[0], ins[1], at['bits'], at['signed'])
         elif op == 'RequantAdd':
@@ -356,10 +626,30 @@ def replay_qonnx(model, image: np.ndarray) -> np.ndarray:
                 for dx in range(kw):
                     out = np.maximum(
                         out, xp[:, dy:dy + ho * sh:sh, dx:dx + wo * sw:sw, :])
+        elif op == 'Min':
+            out = np.minimum(ins[0], ins[1].astype(np.int64))
+        elif op == 'Concat':
+            out = np.concatenate(ins, axis=at['axis'])
+        elif op == 'AveragePool':
+            # integer window sum, then f32 division — the engine's exact
+            # arithmetic (trunc happens in the following Trunc node)
+            x = ins[0]
+            kh, kw = at['kernel_shape']
+            sh, sw = at['strides']
+            p = at['pads']
+            xp = np.pad(x, ((0, 0), (p[0], p[2]), (p[1], p[3]), (0, 0)))
+            ho = (xp.shape[1] - kh) // sh + 1
+            wo = (xp.shape[2] - kw) // sw + 1
+            acc = np.zeros((x.shape[0], ho, wo, x.shape[3]), np.int64)
+            for dy in range(kh):
+                for dx in range(kw):
+                    acc += xp[:, dy:dy + ho * sh:sh, dx:dx + wo * sw:sw, :]
+            out = acc.astype(np.float32) / np.float32(kh * kw)
         elif op == 'GlobalAveragePool':
-            # exact rational mean of ints (sum exact in int64, then f64 div)
-            out = (ins[0].sum(axis=(1, 2), dtype=np.int64)
-                   / (ins[0].shape[1] * ins[0].shape[2]))
+            # integer sum (exact in int64), f32 division — mirrors the
+            # engines' trunc(f32(sum)/hw + eps) bit-for-bit
+            out = (ins[0].sum(axis=(1, 2), dtype=np.int64).astype(np.float32)
+                   / np.float32(ins[0].shape[1] * ins[0].shape[2]))
         elif op == 'Trunc':
             out = np.trunc(ins[0].astype(np.float32)
                            + np.float32(at['eps'])).astype(np.int64)

@@ -34,6 +34,88 @@ def test_export_reload_replay_bit_equal(arch, tmp_path):
     np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
 
 
+def test_export_mobilenetv2_replay_bit_equal(tmp_path):
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    from hawq_tpu.models.mobilenetv2 import (
+        QMobileNetV2, TINY_MNV2_STAGES, TINY_MNV2_INIT_CH, TINY_MNV2_FINAL_CH)
+    from hawq_tpu.inference.freeze import freeze_mobilenetv2
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+    import jax.numpy as jnp
+
+    cfg = BitConfig(name='tiny_mnv2_u8', table={}, settings=QuantSettings())
+    model = QMobileNetV2(cfg=cfg, num_classes=8, stages=TINY_MNV2_STAGES,
+                         init_ch=TINY_MNV2_INIT_CH,
+                         final_ch=TINY_MNV2_FINAL_CH)
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(2, 32, 32, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(3):
+        v = calib(v, x)
+    fm = freeze_mobilenetv2(jax.tree.map(np.asarray, v), cfg,
+                            TINY_MNV2_STAGES, num_classes=8)
+
+    path = str(tmp_path / 'mnv2.onnx')
+    qonnx.export_qonnx_mobilenetv2(fm, path, TINY_MNV2_STAGES, image_size=32)
+
+    eng_logits = np.asarray(
+        build_mobilenetv2_engine(fm, TINY_MNV2_STAGES)(x))
+    replay = qonnx.replay_qonnx(qonnx.load_qonnx(path), np.asarray(x))
+    np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
+
+    m = qonnx.load_qonnx(path)
+    groups = [a.i for n in m.graph.node if n.op_type == 'Conv'
+              for a in n.attribute if a.name == 'group']
+    assert max(groups) > 1          # depthwise convs exported as grouped
+    assert any(n.op_type == 'Min' for n in m.graph.node)   # integer ReLU6
+
+
+@pytest.mark.slow
+def test_export_inceptionv3_replay_bit_equal(tmp_path):
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    from hawq_tpu.models.inceptionv3 import QInceptionV3
+    from hawq_tpu.inference.engine_inception import (freeze_inceptionv3,
+                                                     build_inceptionv3_engine)
+    import jax.numpy as jnp
+
+    width_div = 16
+    cfg = BitConfig(name='incept_tiny_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=width_div)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(2):
+        v = calib(v, x)
+    fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
+                            width_div=width_div)
+
+    path = str(tmp_path / 'incept.onnx')
+    qonnx.export_qonnx_inceptionv3(fm, path, width_div=width_div,
+                                   image_size=96)
+
+    eng_logits = np.asarray(
+        build_inceptionv3_engine(fm, width_div=width_div)(x))
+    replay = qonnx.replay_qonnx(qonnx.load_qonnx(path), np.asarray(x))
+    np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
+
+    m = qonnx.load_qonnx(path)
+    ops = [n.op_type for n in m.graph.node]
+    assert 'Concat' in ops and 'AveragePool' in ops
+
+
 def test_exported_file_structure(tmp_path):
     model, cfg, v, x = _calibrated_model('tiny50', 'uniform8')
     fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
