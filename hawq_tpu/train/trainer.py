@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hawq_tpu.configs.bit_config import get_bit_config
+from hawq_tpu.configs.bit_config import (BitConfig, QuantSettings,
+                                         get_bit_config)
 from hawq_tpu.inference.freeze import freeze_resnet
 from hawq_tpu.train import data as data_lib
 from hawq_tpu.train.train import (TrainState, make_train_step, make_eval_step,
@@ -75,16 +76,32 @@ class TrainerConfig:
 
 def build_model(cfg: TrainerConfig):
     from hawq_tpu.models.resnet import QResNet
+    if cfg.arch in ('mobilenetv2_w1', 'tiny_mnv2'):
+        from hawq_tpu.models.mobilenetv2 import (
+            QMobileNetV2, TINY_MNV2_STAGES, TINY_MNV2_INIT_CH,
+            TINY_MNV2_FINAL_CH)
+        if cfg.arch == 'tiny_mnv2':    # test-scale variant, uniform-8 table
+            bit_cfg = BitConfig(name=f'tiny_mnv2_{cfg.scheme}', table={},
+                                settings=QuantSettings())
+            return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes,
+                                stages=TINY_MNV2_STAGES,
+                                init_ch=TINY_MNV2_INIT_CH,
+                                final_ch=TINY_MNV2_FINAL_CH), bit_cfg
+        bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+        return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
+    if cfg.arch in ('inceptionv3', 'tiny_inceptionv3'):
+        from hawq_tpu.models.inceptionv3 import QInceptionV3
+        if cfg.arch == 'tiny_inceptionv3':   # width/16 test-scale variant
+            bit_cfg = BitConfig(name=f'tiny_inceptionv3_{cfg.scheme}',
+                                table={}, settings=QuantSettings())
+            return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes,
+                                width_div=16), bit_cfg
+        bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+        return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
     bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
     if cfg.arch.startswith(('resnet', 'tiny')):
         return QResNet(arch=cfg.arch, cfg=bit_cfg,
                        num_classes=cfg.num_classes), bit_cfg
-    if cfg.arch == 'mobilenetv2_w1':
-        from hawq_tpu.models.mobilenetv2 import QMobileNetV2
-        return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
-    if cfg.arch == 'inceptionv3':
-        from hawq_tpu.models.inceptionv3 import QInceptionV3
-        return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
     raise ValueError(f'unknown arch {cfg.arch}')
 
 
@@ -227,11 +244,20 @@ class Trainer:
             shutil.copy(self._ckpt_path('checkpoint.npz.meta.json'),
                         self._ckpt_path('model_best.npz.meta.json'))
         # frozen integer artifact (the deployment hand-off,
-        # quant_train.py:665-670)
-        if self.cfg.arch.startswith(('resnet', 'tiny')):
+        # quant_train.py:665-670) — all three model families
+        if self.cfg.arch in ('mobilenetv2_w1', 'tiny_mnv2'):
+            from hawq_tpu.inference.freeze import freeze_mobilenetv2
+            fm = freeze_mobilenetv2(variables, self.bit_cfg,
+                                    self.model.stages, self.cfg.num_classes)
+        elif self.cfg.arch in ('inceptionv3', 'tiny_inceptionv3'):
+            from hawq_tpu.inference.engine_inception import freeze_inceptionv3
+            fm = freeze_inceptionv3(variables, self.bit_cfg,
+                                    self.cfg.num_classes,
+                                    width_div=self.model.width_div)
+        else:
             fm = freeze_resnet(variables, self.cfg.arch, self.bit_cfg,
                                self.cfg.num_classes)
-            ckpt.save_frozen(self._ckpt_path('quantized_checkpoint.npz'), fm)
+        ckpt.save_frozen(self._ckpt_path('quantized_checkpoint.npz'), fm)
 
     def _resume(self, path: str, quantized: bool):
         variables, meta = ckpt.load_train_checkpoint(path)

@@ -75,6 +75,49 @@ def test_trainer_model_parallel_head(tmp_path):
     assert np.isfinite(float(t.state.step))
 
 
+def test_trainer_mobilenet_frozen_artifact(tmp_path):
+    """The per-epoch quantized_checkpoint.npz hand-off works for the
+    MobileNetV2 family too: the dumped FrozenModel rebuilds an engine that
+    runs (quant_train.py:665-670 writes the artifact for every arch)."""
+    from hawq_tpu.utils.checkpoint import load_frozen
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+
+    t = Trainer(_cfg(tmp_path, arch='tiny_mnv2'))
+    t.calibrate()
+    t.train_epoch(0)
+    t.evaluate()
+    t.save_checkpoint(0, False)
+
+    fm = load_frozen(str(tmp_path / 'quantized_checkpoint.npz'))
+    assert fm.arch == 'mobilenetv2'
+    eng = build_mobilenetv2_engine(fm, t.model.stages)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 32, 32, 3).astype(np.float32))
+    logits = np.asarray(eng(x))
+    assert logits.shape == (2, 10) and np.isfinite(logits).all()
+
+
+@pytest.mark.slow
+def test_trainer_inception_frozen_artifact(tmp_path):
+    from hawq_tpu.utils.checkpoint import load_frozen
+    from hawq_tpu.inference.engine_inception import build_inceptionv3_engine
+
+    t = Trainer(_cfg(tmp_path, arch='tiny_inceptionv3', image_size=96,
+                     batch_size=2, steps_per_epoch=1, calib_batches=1,
+                     eval_batches=1))
+    t.calibrate()
+    t.train_epoch(0)
+    t.save_checkpoint(0, False)
+
+    fm = load_frozen(str(tmp_path / 'quantized_checkpoint.npz'))
+    assert fm.arch == 'inceptionv3'
+    eng = build_inceptionv3_engine(fm, width_div=t.model.width_div)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    logits = np.asarray(eng(x))
+    assert logits.shape == (1, 10) and np.isfinite(logits).all()
+
+
 def test_trainer_kd_random_teacher_warns(tmp_path):
     # basicConfig(force=True) owns the handlers, so check the log file
     Trainer(_cfg(tmp_path, distill_alpha=0.9))
