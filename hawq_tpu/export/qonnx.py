@@ -20,11 +20,20 @@ Dialect (domain 'hawq2qonnx', mirroring the reference's custom domain):
                          (dual-scale residual add, unclamped like the engine)
   Trunc(x)               attr eps                   → trunc(x + eps)
                          (integer average-pool division, quant_utils.py:324)
+  RequantBn(x, mult, bias) attrs bits, signed       → clip(relu(⌊x·mult+0.5⌋
+                         + bias)) (pre-activation ResNet v2's standalone
+                         integer batch-norm, engine_v2.py)
 Standard-domain ops: Conv (int8 weight + int32 bias initializers; `group`
 for depthwise), Relu, Min (integer ReLU6: Relu then Min against a
 per-channel round(6/acc_scale) int32 initializer), Clip, MaxPool,
 AveragePool (integer window sum, f32 division — always followed by Trunc),
 GlobalAveragePool, Concat, Reshape, MatMul, Add, Mul.
+
+Every Conv additionally carries self-description initializers
+`<key>.weight_scale` (f32 per-channel) and `<key>.weight_bits` (int32) so
+downstream toolchains can dequantize the integer weights (the role of the
+reference Quant op's scale/bitwidth operands).  `export_qonnx` dispatches
+on FrozenModel.arch across all four graph families.
 
 All activation tensors are integer-valued; the requant multiplies replay in
 float32 (matching the engine's VPU arithmetic exactly), the convolutions in
@@ -138,11 +147,22 @@ class _GraphCtx:
         return self.b.init_tensor(name, np.atleast_1d(self._dyadic(ratio)))
 
     def conv(self, x, key, strides, pads, group: int = 1):
-        """Conv node (HWIO weights, NHWC data) + int32 bias initializer."""
+        """Conv node (HWIO weights, NHWC data) + int32 bias initializer.
+
+        Also emits self-description metadata initializers
+        ``<key>.weight_scale`` (f32, per-channel) and ``<key>.weight_bits``
+        (int32) so a downstream toolchain can dequantize the weights — the
+        role of the reference's Quant-op scale/bitwidth operands
+        (utils/export/function.py:8-141)."""
         w = np.asarray(self.fm[key + '.weight_int'], np.int8)
         bias = np.asarray(self.fm[key + '.bias_int'], np.int32)
         wi = self.b.init_tensor(key + '.weight', w)
         bi = self.b.init_tensor(key + '.bias', bias)
+        self.b.init_tensor(
+            key + '.weight_scale',
+            np.atleast_1d(self.fm[key + '.weight_scale'].astype(np.float32)))
+        self.b.init_tensor(key + '.weight_bits',
+                           np.asarray([self.cfg.weight_bits(key)], np.int32))
         return self.b.node('Conv', [x, wi, bi], name=key,
                            kernel_shape=w.shape[:2], strides=strides,
                            pads=pads, group=group), w
@@ -193,6 +213,10 @@ def export_qonnx_resnet(fm: FrozenModel, path: str, image_size: int = 224
         bias = np.asarray(fm[key + '.bias_int'], np.int32)
         wi = b.init_tensor(key + '.weight', w)
         bi = b.init_tensor(key + '.bias', bias)
+        b.init_tensor(key + '.weight_scale', np.atleast_1d(
+            fm[key + '.weight_scale'].astype(np.float32)))
+        b.init_tensor(key + '.weight_bits',
+                      np.asarray([cfg.weight_bits(key)], np.int32))
         out = b.node('Conv', [x, wi, bi], name=key,
                      kernel_shape=w.shape[:2], strides=strides, pads=pads,
                      group=1)
@@ -509,6 +533,135 @@ def export_qonnx_inceptionv3(fm: FrozenModel, path: str, width_div: int = 1,
         f.write(b.model.SerializeToString())
 
 
+def export_qonnx_resnet_v2(fm: FrozenModel, path: str, image_size: int = 224
+                           ) -> None:
+    """Serialize the frozen pre-activation ResNet v2 integer graph.
+
+    Mirrors inference/engine_v2.py's build_resnet_v2_engine.  The
+    v2-specific standalone integer batch-norm is the custom RequantBn op:
+    clip(relu(round_half_up(x·mult) + bias)), with bias =
+    round_half_up(bn_bias / act_scale) as an f32 initializer.  The direct
+    head quantizer (QuantAct case (a)) is Mul by the residual scale
+    followed by Quant at the output scale — the engine's exact f32 op
+    order."""
+    arch, cfg = fm.arch, fm.cfg
+    base = arch[:-2]
+    bottleneck = RESNET_CONVS_PER_UNIT[base] == 3
+
+    b = _Builder(f'{arch}_{cfg.name}')
+    ctx = _GraphCtx(b, fm)
+    b.io(b.g.input, 'image', ('N', image_size, image_size, 3))
+
+    s_in, _, _ = ctx.act_info('quant_input')
+    si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
+    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+
+    acc, _ = ctx.conv(x, 'quant_init_conv', (2, 2), (3, 3, 3, 3))
+    acc = b.node('Relu', [acc])
+    acc = b.node('MaxPool', [acc], kernel_shape=(3, 3), strides=(2, 2),
+                 pads=(1, 1, 1, 1))
+    s_init = (fm['quant_init_conv.weight_scale'].astype(np.float32)
+              * np.float32(s_in))
+    x, prev_scale = ctx.requant_to(acc, 'quant_act_int32', 'init_rq', s_init)
+
+    for si_, n_units in enumerate(RESNET_UNITS[base], start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{si_}.unit{u}'
+            stride = 2 if (u == 1 and si_ > 1) else 1
+            resize = f'{p}.quant_identity_conv.weight_int' in fm.tensors
+
+            sa, ba, sga = ctx.act_info(f'{p}.quant_act')
+            bn_a = (np.float32(prev_scale)
+                    * fm[f'{p}.quant_bn.bn_factor']).astype(np.float32)
+            m = ctx.mult_init(f'{p}.bn.mult', bn_a, sa)
+            b1 = np.floor(fm[f'{p}.quant_bn.bn_bias'] / np.float32(sa)
+                          + np.float32(0.5)).astype(np.float32)
+            bi = b.init_tensor(f'{p}.bn.bias', b1)
+            pre = b.node('RequantBn', [x, m, bi], domain=QDOMAIN, bits=ba,
+                         signed=int(sga))
+
+            if resize:
+                id_acc, _ = ctx.conv(pre, f'{p}.quant_identity_conv',
+                                     (stride, stride), (0, 0, 0, 0))
+                id_scale = (fm[f'{p}.quant_identity_conv.weight_scale']
+                            .astype(np.float32) * np.float32(sa))
+            else:
+                id_acc, id_scale = x, prev_scale
+
+            pad1 = (0, 0, 0, 0) if bottleneck else (1, 1, 1, 1)
+            acc, _ = ctx.conv(pre, f'{p}.quant_conv1', (stride, stride),
+                              pad1)
+            acc = b.node('Relu', [acc])
+            acc_scale = (fm[f'{p}.quant_conv1.weight_scale']
+                         .astype(np.float32) * np.float32(sa))
+            h, sa1 = ctx.requant_to(acc, f'{p}.quant_act1', f'{p}.a1',
+                                    acc_scale)
+
+            acc, _ = ctx.conv(h, f'{p}.quant_conv2', (1, 1), (1, 1, 1, 1))
+            acc_scale = (fm[f'{p}.quant_conv2.weight_scale']
+                         .astype(np.float32) * sa1)
+            if bottleneck:
+                acc = b.node('Relu', [acc])
+                h, sa2 = ctx.requant_to(acc, f'{p}.quant_act2', f'{p}.a2',
+                                        acc_scale)
+                acc, _ = ctx.conv(h, f'{p}.quant_conv3', (1, 1),
+                                  (0, 0, 0, 0))
+                acc_scale = (fm[f'{p}.quant_conv3.weight_scale']
+                             .astype(np.float32) * sa2)
+
+            s_out, _, _ = ctx.act_info(f'{p}.quant_act_int32')
+            mm = ctx.mult_init(f'{p}.res_m.mult', acc_scale, s_out)
+            mi = ctx.mult_init(f'{p}.res_i.mult', id_scale, s_out)
+            x = b.node('RequantAdd', [acc, mm, id_acc, mi], domain=QDOMAIN)
+            prev_scale = np.float32(s_out)
+
+    # head: relu → integer avg pool → direct quant → fc
+    x = b.node('Relu', [x])
+    x = b.node('GlobalAveragePool', [x])
+    x = b.node('Trunc', [x], domain=QDOMAIN, eps=0.01)
+    s_fc, b_fc, sg_fc = ctx.act_info('quant_act_output')
+    ps = b.init_tensor('head.prev_scale', np.float32(prev_scale).reshape(1))
+    x = b.node('Mul', [x, ps])
+    sfc = b.init_tensor('head.scale', np.float32(s_fc).reshape(1))
+    f8 = b.node('Quant', [x, sfc], domain=QDOMAIN, bitwidth=b_fc,
+                signed=int(sg_fc))
+
+    wfc = b.init_tensor('quant_output.weight',
+                        np.asarray(fm['quant_output.weight_int'], np.int8))
+    bfc = b.init_tensor('quant_output.bias',
+                        np.asarray(fm['quant_output.bias_int'], np.int32))
+    acc = b.node('MatMul', [f8, wfc])
+    acc = b.node('Add', [acc, bfc])
+    out_scale = (fm['quant_output.weight_scale'].astype(np.float32)
+                 * np.float32(s_fc))
+    so = b.init_tensor('output.scale', np.atleast_1d(out_scale))
+    logits = b.node('Mul', [acc, so], name='logits')
+    b.io(b.g.output, logits, ('N', fm['quant_output.weight_int'].shape[1]))
+
+    with open(path, 'wb') as f:
+        f.write(b.model.SerializeToString())
+
+
+def export_qonnx(fm: FrozenModel, path: str, image_size: int = None) -> None:
+    """Arch-dispatching export: serialize any FrozenModel to ONNX.
+
+    The analog of the reference's model-agnostic ExportManager entry point
+    (utils/export/manager.py:39-142) — structure parameters (MobileNetV2
+    stages, Inception width_div) are recovered from the artifact itself."""
+    arch = fm.arch
+    if arch == 'mobilenetv2':
+        from hawq_tpu.inference.engine_mobilenet import stages_from_frozen
+        return export_qonnx_mobilenetv2(fm, path, stages_from_frozen(fm),
+                                        image_size or 224)
+    if arch == 'inceptionv3':
+        from hawq_tpu.inference.engine_inception import width_div_from_frozen
+        return export_qonnx_inceptionv3(fm, path, width_div_from_frozen(fm),
+                                        image_size or 299)
+    if arch.endswith('v2'):
+        return export_qonnx_resnet_v2(fm, path, image_size or 224)
+    return export_qonnx_resnet(fm, path, image_size or 224)
+
+
 # ---------------------------------------------------------------------------
 # replay interpreter
 # ---------------------------------------------------------------------------
@@ -603,6 +756,16 @@ def replay_qonnx(model, image: np.ndarray) -> np.ndarray:
                             at['pads'], at.get('group', 1))
         elif op == 'Requant':
             out = _requant_np(ins[0], ins[1], at['bits'], at['signed'])
+        elif op == 'RequantBn':
+            pre = (np.floor(ins[0].astype(np.float32)
+                            * ins[1].astype(np.float32) + np.float32(0.5))
+                   + ins[2].astype(np.float32))
+            pre = np.maximum(pre, np.float32(0.0))
+            if at['signed']:
+                q = 2 ** (at['bits'] - 1) - 1
+                out = np.clip(pre, -q - 1, q).astype(np.int64)
+            else:
+                out = np.clip(pre, 0, 2 ** at['bits'] - 1).astype(np.int64)
         elif op == 'RequantAdd':
             a_ = np.floor(ins[0].astype(np.float32)
                           * ins[1].astype(np.float32) + np.float32(0.5))

@@ -125,6 +125,27 @@ def freeze_inceptionv3(variables: Mapping, cfg: BitConfig,
 # engine
 # ---------------------------------------------------------------------------
 
+def width_div_from_frozen(fm: FrozenModel) -> int:
+    """Recover width_div from the init convs' output channels (32/64/192 at
+    full width, models/inceptionv3.py:322-323) so consumers can rebuild the
+    engine from the artifact alone."""
+    probes = {'q_conv1': 32, 'q_conv3': 64, 'q_conv5': 192}
+    got = {c: int(fm[f'features.q_init_block.{c}.q_convbn.weight_int']
+                  .shape[-1]) for c in probes}
+    if got == probes:
+        return 1
+    # floor division (max(c//w, 4)) makes neighbouring widths collide on
+    # small channels; the final concat width (unit C: 320 + 4·384 + 192,
+    # models/inceptionv3.py inception_c_unit) disambiguates.
+    fc_in = int(fm['output.q_fc.weight_int'].shape[0])
+    for w in range(2, 513):
+        if (all(_cdiv(full, w) == got[c] for c, full in probes.items())
+                and _cdiv(320, w) + 4 * _cdiv(384, w)
+                + _cdiv(192, w) == fc_in):
+            return w
+    raise ValueError(f'cannot infer width_div from channels {got}')
+
+
 def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                              capture: Optional[str] = None,
                              routing: Optional[Dict[str, str]] = None):

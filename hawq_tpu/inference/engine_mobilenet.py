@@ -39,6 +39,23 @@ def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
     return jnp.clip(acc, 0, hi)
 
 
+def stages_from_frozen(fm: FrozenModel):
+    """Recover the stage channel structure from a FrozenModel's tensors
+    (the per-unit conv3 output channel counts) — lets consumers rebuild
+    the engine from the artifact alone."""
+    units = {}
+    for k, v in fm.tensors.items():
+        if k.startswith('features.stage') and k.endswith('.conv3.weight_int'):
+            head = k.split('.')[1:3]               # ['stageI', 'unitJ']
+            i, j = int(head[0][5:]), int(head[1][4:])
+            units[(i, j)] = int(v.shape[-1])
+    stages = []
+    for i in sorted({i for i, _ in units}):
+        stages.append([units[(i, j)]
+                       for j in sorted(j for i2, j in units if i2 == i)])
+    return tuple(tuple(s) for s in stages)
+
+
 def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              residual_dtype=jnp.int32,
                              capture: Optional[str] = None,

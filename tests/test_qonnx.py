@@ -34,6 +34,51 @@ def test_export_reload_replay_bit_equal(arch, tmp_path):
     np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
 
 
+@pytest.mark.parametrize('arch,scheme', [('tiny18v2', 'uniform8'),
+                                         ('tiny50v2', 'uniform4')])
+def test_export_resnet_v2_replay_bit_equal(arch, scheme, tmp_path):
+    from hawq_tpu.inference.engine_v2 import (freeze_resnet_v2,
+                                              build_resnet_v2_engine)
+    from tests.test_resnet_v2 import _calibrated
+
+    model, cfg, v, x = _calibrated(arch, scheme)
+    fm = freeze_resnet_v2(jax.tree.map(np.asarray, v), arch, cfg, 10)
+    path = str(tmp_path / f'{arch}.onnx')
+    qonnx.export_qonnx(fm, path, image_size=32)       # arch dispatch
+
+    eng_logits = np.asarray(build_resnet_v2_engine(fm)(x))
+    replay = qonnx.replay_qonnx(qonnx.load_qonnx(path), np.asarray(x))
+    np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
+
+    m = qonnx.load_qonnx(path)
+    assert any(n.op_type == 'RequantBn' for n in m.graph.node)
+
+
+def test_export_weight_metadata_and_uniform4(tmp_path):
+    """Conv initializers carry weight_scale/weight_bits; a 4-bit config's
+    exported weights fit in the 4-bit range."""
+    model, cfg, v, x = _calibrated_model('tiny50', 'uniform4')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+    path = str(tmp_path / 'm4.onnx')
+    qonnx.export_qonnx(fm, path, image_size=32)
+
+    eng_logits = np.asarray(build_resnet_engine(fm)(x))
+    m = qonnx.load_qonnx(path)
+    replay = qonnx.replay_qonnx(m, np.asarray(x))
+    np.testing.assert_array_equal(replay.astype(np.float32), eng_logits)
+
+    by_name = {t.name: t for t in m.graph.initializer}
+    key = 'stage1.unit1.quant_convbn2'
+    bits = np.frombuffer(by_name[key + '.weight_bits'].raw_data, np.int32)
+    assert bits[0] == cfg.weight_bits(key) == 4
+    w = np.frombuffer(by_name[key + '.weight'].raw_data, np.int8)
+    assert w.min() >= -8 and w.max() <= 7
+    scale = np.frombuffer(by_name[key + '.weight_scale'].raw_data,
+                          np.float32)
+    np.testing.assert_array_equal(
+        scale, np.atleast_1d(fm[key + '.weight_scale'].astype(np.float32)))
+
+
 def test_export_mobilenetv2_replay_bit_equal(tmp_path):
     from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
     from hawq_tpu.models.mobilenetv2 import (
@@ -61,8 +106,11 @@ def test_export_mobilenetv2_replay_bit_equal(tmp_path):
     fm = freeze_mobilenetv2(jax.tree.map(np.asarray, v), cfg,
                             TINY_MNV2_STAGES, num_classes=8)
 
+    from hawq_tpu.inference.engine_mobilenet import stages_from_frozen
+    assert stages_from_frozen(fm) == tuple(
+        tuple(s) for s in TINY_MNV2_STAGES)
     path = str(tmp_path / 'mnv2.onnx')
-    qonnx.export_qonnx_mobilenetv2(fm, path, TINY_MNV2_STAGES, image_size=32)
+    qonnx.export_qonnx(fm, path, image_size=32)       # arch dispatch
 
     eng_logits = np.asarray(
         build_mobilenetv2_engine(fm, TINY_MNV2_STAGES)(x))
@@ -102,9 +150,10 @@ def test_export_inceptionv3_replay_bit_equal(tmp_path):
     fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
                             width_div=width_div)
 
+    from hawq_tpu.inference.engine_inception import width_div_from_frozen
+    assert width_div_from_frozen(fm) == width_div
     path = str(tmp_path / 'incept.onnx')
-    qonnx.export_qonnx_inceptionv3(fm, path, width_div=width_div,
-                                   image_size=96)
+    qonnx.export_qonnx(fm, path, image_size=96)       # arch dispatch
 
     eng_logits = np.asarray(
         build_inceptionv3_engine(fm, width_div=width_div)(x))
