@@ -72,6 +72,38 @@ class TrainerConfig:
     model_parallel: int = 1          # tensor-shard the classifier head
     evaluate_times: int = 0          # mid-epoch evals per epoch (train_kd)
     print_freq: int = 0              # per-step log interval (ProgressMeter)
+    evaluate: bool = False           # eval-only, no training (quant_train.py
+                                     # --evaluate, :455-458)
+    # QuantSettings overrides — the reference's quant argparse tier
+    # (quant_train.py:70-117); None keeps the scheme's stored settings
+    bias_bit: Optional[int] = None               # --bias-bit
+    channel_wise: Optional[int] = None           # --channel-wise 0|1
+    act_percentile: Optional[float] = None       # --act-percentile
+    weight_percentile: Optional[float] = None    # --weight-percentile
+    act_range_momentum: Optional[float] = None   # --act-range-momentum
+    fixed_point_quantization: bool = False       # --fixed-point-quantization
+
+
+def _apply_quant_overrides(cfg: TrainerConfig, bit_cfg: BitConfig
+                           ) -> BitConfig:
+    """Fold the CLI quant flags into the scheme's QuantSettings."""
+    repl = {}
+    if cfg.bias_bit is not None:
+        repl['bias_bit'] = int(cfg.bias_bit)
+    if cfg.channel_wise is not None:
+        repl['per_channel'] = bool(cfg.channel_wise)
+    if cfg.act_percentile is not None:
+        repl['act_percentile'] = float(cfg.act_percentile)
+    if cfg.weight_percentile is not None:
+        repl['weight_percentile'] = float(cfg.weight_percentile)
+    if cfg.act_range_momentum is not None:
+        repl['act_range_momentum'] = float(cfg.act_range_momentum)
+    if cfg.fixed_point_quantization:
+        repl['fixed_point_quantization'] = True
+    if not repl:
+        return bit_cfg
+    return dataclasses.replace(
+        bit_cfg, settings=dataclasses.replace(bit_cfg.settings, **repl))
 
 
 def build_model(cfg: TrainerConfig):
@@ -81,24 +113,29 @@ def build_model(cfg: TrainerConfig):
             QMobileNetV2, TINY_MNV2_STAGES, TINY_MNV2_INIT_CH,
             TINY_MNV2_FINAL_CH)
         if cfg.arch == 'tiny_mnv2':    # test-scale variant, uniform-8 table
-            bit_cfg = BitConfig(name=f'tiny_mnv2_{cfg.scheme}', table={},
-                                settings=QuantSettings())
+            bit_cfg = _apply_quant_overrides(cfg, BitConfig(
+                name=f'tiny_mnv2_{cfg.scheme}', table={},
+                settings=QuantSettings()))
             return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes,
                                 stages=TINY_MNV2_STAGES,
                                 init_ch=TINY_MNV2_INIT_CH,
                                 final_ch=TINY_MNV2_FINAL_CH), bit_cfg
-        bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+        bit_cfg = _apply_quant_overrides(
+            cfg, get_bit_config(cfg.arch, cfg.scheme))
         return QMobileNetV2(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
     if cfg.arch in ('inceptionv3', 'tiny_inceptionv3'):
         from hawq_tpu.models.inceptionv3 import QInceptionV3
         if cfg.arch == 'tiny_inceptionv3':   # width/16 test-scale variant
-            bit_cfg = BitConfig(name=f'tiny_inceptionv3_{cfg.scheme}',
-                                table={}, settings=QuantSettings())
+            bit_cfg = _apply_quant_overrides(cfg, BitConfig(
+                name=f'tiny_inceptionv3_{cfg.scheme}',
+                table={}, settings=QuantSettings()))
             return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes,
                                 width_div=16), bit_cfg
-        bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+        bit_cfg = _apply_quant_overrides(
+            cfg, get_bit_config(cfg.arch, cfg.scheme))
         return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
-    bit_cfg = get_bit_config(cfg.arch, cfg.scheme)
+    bit_cfg = _apply_quant_overrides(
+        cfg, get_bit_config(cfg.arch, cfg.scheme))
     if cfg.arch.startswith(('resnet', 'tiny')):
         return QResNet(arch=cfg.arch, cfg=bit_cfg,
                        num_classes=cfg.num_classes), bit_cfg
@@ -362,6 +399,8 @@ class Trainer:
 
     def run(self):
         self.calibrate()
+        if self.cfg.evaluate:       # eval-only (quant_train.py:455-458)
+            return self.evaluate()
         for epoch in range(self.start_epoch, self.cfg.epochs):
             self.train_epoch(epoch)
             acc = self.evaluate()
@@ -376,7 +415,9 @@ def main(argv=None):
     none_types = {'fix_bn_threshold': int, 'steps_per_epoch': int,
                   'eval_batches': int, 'distill_alpha': float,
                   'data_dir': str, 'resume': str,
-                  'teacher_checkpoint': str}
+                  'teacher_checkpoint': str, 'bias_bit': int,
+                  'channel_wise': int, 'act_percentile': float,
+                  'weight_percentile': float, 'act_range_momentum': float}
     for f in dataclasses.fields(TrainerConfig):
         name = '--' + f.name.replace('_', '-')
         if isinstance(f.default, bool):

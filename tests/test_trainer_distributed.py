@@ -118,6 +118,20 @@ def test_trainer_inception_frozen_artifact(tmp_path):
     assert logits.shape == (1, 10) and np.isfinite(logits).all()
 
 
+def test_trainer_quant_overrides_and_eval_only(tmp_path):
+    """CLI quant flags reach QuantSettings; --evaluate runs no train step."""
+    t = Trainer(_cfg(tmp_path, act_percentile=99.9, channel_wise=0,
+                     bias_bit=16, evaluate=True))
+    st = t.bit_cfg.settings
+    assert st.act_percentile == 99.9 and st.per_channel is False
+    assert st.bias_bit == 16
+    assert t.model.cfg.settings is st        # the model sees the overrides
+
+    acc = t.run()
+    assert 0.0 <= acc <= 1.0
+    assert int(t.state.step) == 0            # no optimizer step taken
+
+
 def test_trainer_kd_random_teacher_warns(tmp_path):
     # basicConfig(force=True) owns the handlers, so check the log file
     Trainer(_cfg(tmp_path, distill_alpha=0.9))
