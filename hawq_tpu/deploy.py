@@ -1,0 +1,152 @@
+"""Unified deployment CLI — load a frozen integer artifact and drive it.
+
+The single-tool analog of the reference's three tvm_benchmark drivers
+(/root/reference/tvm_benchmark/test_resnet_inference.py:28-201 classify +
+--debug-unit golden parity, test_resnet_inference_time.py:256-271 latency,
+test_resnet_accuracy_imagenet.py:78-166 accuracy sweep) plus its export
+step, over any model family:
+
+  python -m hawq_tpu.deploy --frozen run/quantized_checkpoint.npz \
+      [--classify img.npy] [--time] [--batch 8] \
+      [--capture stage1.unit1.quant_act_int32 --save-capture out.npy] \
+      [--compare golden.npy] [--export-onnx model.onnx] [--routing t.json]
+
+With no --frozen, --arch/--scheme builds a synthetic-weight model (the
+reference's create_workload latency mode, init.py:143-180).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from hawq_tpu.inference.freeze import FrozenModel
+
+
+def build_engine_for(fm: FrozenModel, **kw):
+    """Arch-dispatching engine builder (any FrozenModel → jitted fn).
+
+    Accepted kwargs are forwarded to the family builder; ones a family
+    doesn't support (e.g. input_mode outside resnet v1) must be left unset.
+    """
+    arch = fm.arch
+    if arch == 'mobilenetv2':
+        from hawq_tpu.inference.engine_mobilenet import (
+            build_mobilenetv2_engine, stages_from_frozen)
+        return build_mobilenetv2_engine(fm, stages_from_frozen(fm), **kw)
+    if arch == 'inceptionv3':
+        from hawq_tpu.inference.engine_inception import (
+            build_inceptionv3_engine, width_div_from_frozen)
+        return build_inceptionv3_engine(
+            fm, width_div=width_div_from_frozen(fm), **kw)
+    if arch.endswith('v2'):
+        from hawq_tpu.inference.engine_v2 import build_resnet_v2_engine
+        return build_resnet_v2_engine(fm, **kw)
+    from hawq_tpu.inference.engine import build_resnet_engine
+    return build_resnet_engine(fm, **kw)
+
+
+def default_image_size(fm: FrozenModel) -> int:
+    return 299 if fm.arch == 'inceptionv3' else 224
+
+
+def _load_frozen_or_synthetic(args) -> FrozenModel:
+    if args.frozen:
+        from hawq_tpu.utils.checkpoint import load_frozen
+        return load_frozen(args.frozen)
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+    return synthetic_frozen_resnet(args.arch,
+                                   get_bit_config(args.arch, args.scheme))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description='hawq-tpu deployment driver')
+    p.add_argument('--frozen', help='quantized_checkpoint.npz path')
+    p.add_argument('--arch', default='resnet50',
+                   help='synthetic-weight arch when no --frozen')
+    p.add_argument('--scheme', default='uniform8')
+    p.add_argument('--batch', type=int, default=8)
+    p.add_argument('--image-size', type=int, default=None)
+    p.add_argument('--classify', help='npy of (H,W,3) f32 or (B,H,W,3)')
+    p.add_argument('--topk', type=int, default=5)
+    p.add_argument('--time', action='store_true',
+                   help='report ms/batch + images/sec (in-jit loop timing)')
+    p.add_argument('--capture',
+                   help='truncate at this node, emit its integer tensor')
+    p.add_argument('--save-capture', help='npy path for --capture output')
+    p.add_argument('--compare',
+                   help='golden npy; exact integer comparison against the '
+                        'capture (the reference --debug-unit flow)')
+    p.add_argument('--export-onnx', help='write the QONNX ONNX file here')
+    p.add_argument('--routing', help='autotune routing table JSON')
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    fm = _load_frozen_or_synthetic(args)
+    size = args.image_size or default_image_size(fm)
+    print(f'arch={fm.arch} scheme={fm.cfg.name} classes={fm.num_classes} '
+          f'tensors={len(fm.tensors)}')
+
+    if args.export_onnx:
+        from hawq_tpu.export.qonnx import export_qonnx
+        export_qonnx(fm, args.export_onnx, image_size=size)
+        print(f'exported ONNX → {args.export_onnx}')
+
+    kw = {}
+    if args.routing:
+        with open(args.routing) as f:
+            kw['routing'] = {k: v for k, v in json.load(f).items()
+                             if not k.startswith('_')}
+    if args.capture:
+        kw['capture'] = args.capture
+
+    if args.classify:
+        x = np.load(args.classify).astype(np.float32)
+        if x.ndim == 3:
+            x = x[None]
+    else:
+        x = np.random.RandomState(0).rand(
+            args.batch, size, size, 3).astype(np.float32)
+
+    engine = build_engine_for(fm, **kw)
+    out = np.asarray(engine(jnp.asarray(x)))
+
+    if args.capture:
+        print(f'capture {args.capture}: shape={out.shape} dtype={out.dtype} '
+              f'range=[{out.min()}, {out.max()}]')
+        if args.save_capture:
+            np.save(args.save_capture, out)
+            print(f'saved → {args.save_capture}')
+        if args.compare:
+            golden = np.load(args.compare)
+            mism = int(np.sum(golden.astype(np.int64)
+                              != out.astype(np.int64)))
+            print(f'{"100% matched!" if mism == 0 else str(mism) + " MISMATCHES"}'
+                  f' ({out.size} values)')
+            return 0 if mism == 0 else 1
+    else:
+        top = np.argsort(out, axis=-1)[:, ::-1][:, :args.topk]
+        for i, row in enumerate(top):
+            print(f'image {i}: top-{args.topk} classes {row.tolist()}')
+
+    if args.time:
+        import os
+        try:
+            from bench import time_per_iter
+        except ImportError:        # repo root not on sys.path
+            sys.path.insert(0, os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            from bench import time_per_iter
+        t = time_per_iter(engine, jnp.asarray(x))
+        print(json.dumps({'ms_per_batch': round(t * 1e3, 3),
+                          'images_per_sec': round(len(x) / t, 1),
+                          'batch': len(x)}))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,62 @@
+"""Deployment CLI: the single-tool analog of the reference's tvm_benchmark
+drivers (test_resnet_inference.py classify/--debug-unit, inference_time,
+export) — exercised end-to-end against tiny frozen artifacts."""
+
+import numpy as np
+import jax
+import pytest
+
+from hawq_tpu import deploy
+from hawq_tpu.configs.bit_config import get_bit_config
+from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+from hawq_tpu.utils.checkpoint import save_frozen
+
+
+@pytest.fixture(scope='module')
+def frozen_path(tmp_path_factory):
+    fm = synthetic_frozen_resnet('tiny50', get_bit_config('tiny50',
+                                                          'uniform8'))
+    path = str(tmp_path_factory.mktemp('dep') / 'quantized_checkpoint.npz')
+    save_frozen(path, fm)
+    return path
+
+
+def test_deploy_classify_and_export(frozen_path, tmp_path, capsys):
+    onnx_path = str(tmp_path / 'm.onnx')
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '2', '--export-onnx', onnx_path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert 'arch=tiny50' in out and 'top-5 classes' in out
+    from hawq_tpu.export.qonnx import load_qonnx
+    assert len(load_qonnx(onnx_path).graph.node) > 10
+
+
+def test_deploy_capture_compare_golden(frozen_path, tmp_path, capsys):
+    node = 'stage1.unit1.quant_act_int32'
+    cap = str(tmp_path / 'cap.npy')
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '2', '--capture', node,
+                      '--save-capture', cap])
+    assert rc == 0
+
+    # self-comparison: the reference's "100% matched!" debug-unit flow
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '2', '--capture', node, '--compare', cap])
+    assert rc == 0 and '100% matched!' in capsys.readouterr().out
+
+    # corrupt one value → nonzero exit + mismatch report
+    g = np.load(cap)
+    g.flat[0] += 1
+    bad = str(tmp_path / 'bad.npy')
+    np.save(bad, g)
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '2', '--capture', node, '--compare', bad])
+    assert rc == 1 and 'MISMATCH' in capsys.readouterr().out
+
+
+def test_deploy_synthetic_arch(capsys):
+    rc = deploy.main(['--arch', 'tiny18', '--scheme', 'uniform4',
+                      '--image-size', '32', '--batch', '2'])
+    assert rc == 0
+    assert 'scheme=tiny18_uniform4' in capsys.readouterr().out
