@@ -83,6 +83,12 @@ def main(argv=None) -> int:
                         'capture (the reference --debug-unit flow)')
     p.add_argument('--export-onnx', help='write the QONNX ONNX file here')
     p.add_argument('--routing', help='autotune routing table JSON')
+    p.add_argument('--accuracy',
+                   help='val ImageFolder dir: run the integer engine over '
+                        'the dataset and report top-1/top-5 (the '
+                        'test_resnet_accuracy_imagenet.py flow)')
+    p.add_argument('--max-batches', type=int, default=None)
+    p.add_argument('--print-freq', type=int, default=10)
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -113,6 +119,32 @@ def main(argv=None) -> int:
             args.batch, size, size, 3).astype(np.float32)
 
     engine = build_engine_for(fm, **kw)
+
+    if args.accuracy:
+        # deployment-side accuracy: the integer engine over a val folder
+        # (reference prints running meters every 10 batches,
+        # test_resnet_accuracy_imagenet.py:131-135)
+        from hawq_tpu.train.data import ImageFolderLoader
+        loader = ImageFolderLoader(args.accuracy, args.batch, train=False,
+                                   image_size=size)
+        top1 = top5 = seen = 0
+        for i, batch in enumerate(loader.epoch(0)):
+            if args.max_batches and i >= args.max_batches:
+                break
+            logits = np.asarray(engine(jnp.asarray(batch['image'])))
+            lbl = np.asarray(batch['label'])
+            pred = np.argsort(logits, axis=-1)[:, ::-1]
+            top1 += int((pred[:, 0] == lbl).sum())
+            top5 += int((pred[:, :5] == lbl[:, None]).sum())
+            seen += len(lbl)
+            if (i + 1) % args.print_freq == 0:
+                print(f'[{i + 1}] top1 {top1 / seen:.4f} '
+                      f'top5 {top5 / seen:.4f} ({seen} images)')
+        print(json.dumps({'top1': round(top1 / max(seen, 1), 4),
+                          'top5': round(top5 / max(seen, 1), 4),
+                          'images': seen}))
+        return 0
+
     out = np.asarray(engine(jnp.asarray(x)))
 
     if args.capture:

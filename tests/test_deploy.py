@@ -55,6 +55,29 @@ def test_deploy_capture_compare_golden(frozen_path, tmp_path, capsys):
     assert rc == 1 and 'MISMATCH' in capsys.readouterr().out
 
 
+def test_deploy_accuracy_over_image_folder(frozen_path, tmp_path, capsys):
+    """Engine-side dataset accuracy (the test_resnet_accuracy_imagenet.py
+    flow): runs the integer engine over an ImageFolder and reports meters."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for cls in ['a', 'b']:
+        d = tmp_path / 'val' / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                            ).save(d / f'{i}.jpg')
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '4', '--accuracy', str(tmp_path / 'val'),
+                      '--print-freq', '1'])
+    out = capsys.readouterr().out
+    assert rc == 0
+    import json
+    last = json.loads(out.strip().splitlines()[-1])
+    assert last['images'] == 8
+    assert 0.0 <= last['top1'] <= last['top5'] <= 1.0
+    assert '[1] top1' in out          # running meter lines
+
+
 def test_deploy_synthetic_arch(capsys):
     rc = deploy.main(['--arch', 'tiny18', '--scheme', 'uniform4',
                       '--image-size', '32', '--batch', '2'])
