@@ -46,6 +46,8 @@ RESNET_UNITS = {
     'resnet34': (3, 4, 6, 3),
     'resnet101': (3, 4, 23, 3),
     'resnet152': (3, 8, 36, 3),
+    'resnet200': (3, 24, 36, 3),      # quantized_resnet_v1.py:473-616 table
+    'resnet269': (3, 30, 48, 3),
     'tiny18': (1, 2),
     'tiny50': (1, 2),
     # wide50: MXU-aligned channels at tiny depth — exercises the pallas
@@ -55,6 +57,7 @@ RESNET_UNITS = {
 # Basic blocks have 2 convs, bottlenecks 3.
 RESNET_CONVS_PER_UNIT = {'resnet18': 2, 'resnet34': 2, 'resnet50': 3,
                          'resnet50b': 3, 'resnet101': 3, 'resnet152': 3,
+                         'resnet200': 3, 'resnet269': 3,
                          'tiny18': 2, 'tiny50': 3, 'wide50': 3}
 
 

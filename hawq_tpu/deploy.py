@@ -89,13 +89,19 @@ def main(argv=None) -> int:
                         'test_resnet_accuracy_imagenet.py flow)')
     p.add_argument('--max-batches', type=int, default=None)
     p.add_argument('--print-freq', type=int, default=10)
+    p.add_argument('--dump-hlo',
+                   help='write the compiled engine program text here (the '
+                        'generated-kernel dump of the reference, '
+                        'test_resnet_inference_time.py:82-89, 240-242)')
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
     fm = _load_frozen_or_synthetic(args)
     size = args.image_size or default_image_size(fm)
+    from hawq_tpu.inference.freeze import model_size_bytes
     print(f'arch={fm.arch} scheme={fm.cfg.name} classes={fm.num_classes} '
-          f'tensors={len(fm.tensors)}')
+          f'tensors={len(fm.tensors)} '
+          f'deployed_size={model_size_bytes(fm) / 1e6:.2f}MB')
 
     if args.export_onnx:
         from hawq_tpu.export.qonnx import export_qonnx
@@ -119,6 +125,17 @@ def main(argv=None) -> int:
             args.batch, size, size, 3).astype(np.float32)
 
     engine = build_engine_for(fm, **kw)
+
+    if args.dump_hlo:
+        lowered = engine.lower(jnp.asarray(x))
+        try:
+            text = lowered.compile().as_text()    # optimized HLO
+        except Exception:                          # backend w/o text dumps
+            text = lowered.as_text()               # StableHLO fallback
+        with open(args.dump_hlo, 'w') as f:
+            f.write(text)
+        print(f'dumped compiled program ({len(text)} chars) → '
+              f'{args.dump_hlo}')
 
     if args.accuracy:
         # deployment-side accuracy: the integer engine over a val folder

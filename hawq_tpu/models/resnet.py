@@ -41,6 +41,8 @@ _STAGE_CHANNELS = {
     'resnet50b': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'resnet101': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'resnet152': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
+    'resnet200': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
+    'resnet269': ((64, 128, 256, 512), (256, 512, 1024, 2048)),
     'tiny18': (None, (16, 32)),
     'tiny50': ((8, 16), (32, 64)),
     'wide50': ((128, 128), (256, 256)),

@@ -1,7 +1,7 @@
 """ResNet34/152 architecture tables: the full graph builders trace end to
 end (shape-level, no XLA compile) for QAT model, synthetic freeze, and
 integer engine.  The reference's graph builders carry size tables for
-18/34/50/101/152 (quantized_resnet_v1.py:473-616); wiring correctness at
+18/34/50/101/152/200/269 (quantized_resnet_v1.py:473-616); wiring correctness at
 depth is covered by the tiny-arch parity tests (same code paths).
 """
 
@@ -16,7 +16,9 @@ from hawq_tpu.inference.engine import build_resnet_engine
 
 
 @pytest.mark.parametrize('arch,scheme', [('resnet34', 'uniform8'),
-                                         ('resnet152', 'uniform4')])
+                                         ('resnet152', 'uniform4'),
+                                         ('resnet200', 'uniform8'),
+                                         ('resnet269', 'uniform4')])
 def test_engine_traces(arch, scheme):
     cfg = get_bit_config(arch, scheme)
     fm = synthetic_frozen_resnet(arch, cfg, num_classes=1000)
@@ -26,7 +28,7 @@ def test_engine_traces(arch, scheme):
     assert out.shape == (8, 1000)
 
 
-@pytest.mark.parametrize('arch', ['resnet34', 'resnet152'])
+@pytest.mark.parametrize('arch', ['resnet34', 'resnet152', 'resnet269'])
 def test_qat_model_traces(arch):
     from hawq_tpu.models.resnet import QResNet
     cfg = get_bit_config(arch, 'uniform8')
@@ -35,6 +37,6 @@ def test_qat_model_traces(arch):
     v = jax.eval_shape(
         lambda k, xi: model.init(k, xi, folded=True, update_stats=True),
         jax.random.PRNGKey(0), x)
-    n_units = {'resnet34': 16, 'resnet152': 50}[arch]
+    n_units = {'resnet34': 16, 'resnet152': 50, 'resnet269': 84}[arch]
     got = sum(1 for k in v['params'] if k.startswith('stage'))
     assert got == n_units, (got, n_units)

@@ -82,4 +82,14 @@ def test_deploy_synthetic_arch(capsys):
     rc = deploy.main(['--arch', 'tiny18', '--scheme', 'uniform4',
                       '--image-size', '32', '--batch', '2'])
     assert rc == 0
-    assert 'scheme=tiny18_uniform4' in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert 'scheme=tiny18_uniform4' in out and 'deployed_size=' in out
+
+
+def test_deploy_dump_hlo(frozen_path, tmp_path, capsys):
+    hlo = str(tmp_path / 'engine.hlo')
+    rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
+                      '--batch', '2', '--dump-hlo', hlo])
+    assert rc == 0
+    text = open(hlo).read()
+    assert 'convolution' in text and len(text) > 1000
