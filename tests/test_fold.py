@@ -84,3 +84,19 @@ def test_folded_engine_bit_exact():
     xf = jnp.asarray(fold.fold4_images(np.asarray(x)))
     got = np.asarray(eng_f(xf))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_native_fold4_matches_numpy():
+    """The production C++ fold (csrc/hawq_preproc.cpp fold4) is
+    byte-identical to the numpy reference for f32 and int8 pixels."""
+    import pytest
+    from hawq_tpu.utils import preproc
+    from hawq_tpu.inference import fold
+    if not preproc.native_available():
+        pytest.skip('no native library')
+    rng = np.random.RandomState(0)
+    xf = rng.randn(2, 32, 36, 3).astype(np.float32)
+    xi = rng.randint(-128, 128, (2, 32, 36, 3)).astype(np.int8)
+    for x in (xf, xi):
+        np.testing.assert_array_equal(preproc.fold4_images(x),
+                                      fold.fold4_images(x))
