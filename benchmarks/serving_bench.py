@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_requests: int = 256):
+def main(n_requests: int = 256, out: str = None):
     import jax
     import jax.numpy as jnp
     from bench import time_per_iter
@@ -85,7 +85,12 @@ def main(n_requests: int = 256):
                                / results['batcher_depth1_img_per_sec'])
 
     print(json.dumps({k: round(v, 2) for k, v in results.items()}))
+    if out:
+        with open(out, 'w') as f:
+            json.dump({k: round(v, 2) for k, v in results.items()}, f,
+                      indent=1)
 
 
 if __name__ == '__main__':
-    main()
+    main(out=(sys.argv[sys.argv.index('--out') + 1]
+              if '--out' in sys.argv else None))

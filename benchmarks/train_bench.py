@@ -109,21 +109,25 @@ def main():
 
     def float_step(state, batch):
         def loss_fn(params):
-            logits = fmodel.apply({'params': params,
-                                   'batch_stats': state.batch_stats},
-                                  batch['image'])
+            # train=True: BN batch stats update, like the QAT step (a
+            # baseline with frozen BN would flatter the QAT speedup)
+            logits, mut = fmodel.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch['image'], train=True, mutable=['batch_stats'])
             one_hot = jax.nn.one_hot(batch['label'], logits.shape[-1])
-            return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot,
-                                     -1)), logits
+            loss = -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * one_hot,
+                                     -1))
+            return loss, mut
 
         with jax.default_matmul_precision('float32'):
-            (loss, logits), grads = jax.value_and_grad(
+            (loss, mut), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
-                             opt_state=opt_state), {'loss': loss}
+                             opt_state=opt_state,
+                             batch_stats=mut['batch_stats']), {'loss': loss}
 
     fv = jax.jit(lambda: fmodel.init(jax.random.PRNGKey(0),
                                      batch['image']))()

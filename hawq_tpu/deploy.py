@@ -142,8 +142,10 @@ def main(argv=None) -> int:
         # (reference prints running meters every 10 batches,
         # test_resnet_accuracy_imagenet.py:131-135)
         from hawq_tpu.train.data import ImageFolderLoader
+        # keep the tail batch (one extra engine compile) — accuracy must
+        # cover the whole val set, as the reference driver does
         loader = ImageFolderLoader(args.accuracy, args.batch, train=False,
-                                   image_size=size)
+                                   image_size=size, drop_remainder=False)
         top1 = top5 = seen = 0
         for i, batch in enumerate(loader.epoch(0)):
             if args.max_batches and i >= args.max_batches:
