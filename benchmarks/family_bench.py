@@ -99,6 +99,15 @@ def main():
                          .astype(np.float32))
         eng = build_inceptionv3_engine(fm)
         record(f'inceptionv3_{scheme}', eng, xi, fm)
+        # production input path: host 4×4 fold of the 3×3/s2 C=3 q_conv1
+        # (bit-exact 2×2/s1 rewrite; measured 30% faster end-to-end —
+        # the analogous fold LOSES on mobilenetv2's 32-wide init conv,
+        # 7.1× MAC overhead at k=3, so that family stays direct)
+        from hawq_tpu.inference import fold
+        xif = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(xi), 0))
+        eng_f = build_inceptionv3_engine(fm, input_mode='folded_float32',
+                                         input_hw=(299, 299))
+        record(f'inceptionv3_{scheme}_folded', eng_f, xif, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_inceptionv3_{scheme}_b{args.batch}'
                              '.json')

@@ -148,7 +148,9 @@ def width_div_from_frozen(fm: FrozenModel) -> int:
 
 def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                              capture: Optional[str] = None,
-                             routing: Optional[Dict[str, str]] = None):
+                             routing: Optional[Dict[str, str]] = None,
+                             input_mode: str = 'float32',
+                             input_hw: Sequence = (299, 299)):
     """``capture`` truncates at a named node and returns its integer tensor
     (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
     'fc_input'.
@@ -156,11 +158,30 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     ``routing`` maps 1×1-conv keys to 'xla'|'pallas8'|'pallas4w' (the
     autotune table): pallas-routed 1×1 stride-1 convs run the fully fused
     conv→relu→requant Pallas kernel (kernels/matmul.py via
-    inference/routing.py) and stay bit-exact."""
+    inference/routing.py) and stay bit-exact.
+
+    ``input_mode='folded_float32'``: images arrive host-folded
+    (fold.fold4_images_3x3s2(x, 0) — (B, fh, fw, 48)); the 3×3/s2 C=3
+    q_conv1 runs as its bit-exact 2×2/s1 rewrite (docs/perf_tpu.md).
+    ``input_hw`` is the original image size (sets the post-fold slice)."""
     from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
+
+    folded = input_mode == 'folded_float32'
+    if folded:
+        from hawq_tpu.inference import fold as _fold
+        w_raw = np.asarray(
+            fm['features.q_init_block.q_conv1.q_convbn.weight_int'])
+        assert w_raw.shape[:2] == (3, 3)
+        w_fold = _fold.fold4_kernel_3x3s2(w_raw)
+        oh = (input_hw[0] - 3) // 2 + 1        # q_conv1: pad 0, stride 2
+        ow = (input_hw[1] - 3) // 2 + 1
+
+    def _t4(a):
+        a = np.asarray(a)
+        return np.tile(a, 4) if a.size > 1 else a
 
     captured = {}
 
@@ -217,7 +238,23 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
         for c in range(1, 6):
             key = f'{ip}.q_conv{c}'
-            x, s = incept_conv(x, s, key, strides[c], pads[c])
+            if folded and c == 1:
+                # 2×2/s1 folded rewrite of the 3×3/s2 C=3 conv; relu +
+                # requant in folded layout, then depth-to-space + slice
+                from hawq_tpu.inference import fold as _fold
+                w8, b32 = plan.conv(f'{key}.q_convbn')
+                acc = _conv_i8(x, w_fold, (1, 1), 'VALID') + _t4(b32)
+                acc = jnp.maximum(acc, 0)
+                acc_scale = (fm[f'{key}.q_convbn.weight_scale']
+                             .astype(np.float32) * np.float32(s))
+                sq, bq, sg = act_info(f'{key}.q_activ')
+                mult = plan.requant_mult(f'{key}.rq_f', _t4(acc_scale), sq)
+                xq = _requant(acc, mult, bq, sg,
+                              jnp.int8 if bq <= 8 else jnp.int32)
+                x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
+                s = np.float32(sq)
+            else:
+                x, s = incept_conv(x, s, key, strides[c], pads[c])
             if c in (3, 5):
                 x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
         emit('init', x)

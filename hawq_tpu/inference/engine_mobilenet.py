@@ -59,7 +59,9 @@ def stages_from_frozen(fm: FrozenModel):
 def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              residual_dtype=jnp.int32,
                              capture: Optional[str] = None,
-                             routing: Optional[dict] = None):
+                             routing: Optional[dict] = None,
+                             input_mode: str = 'float32',
+                             input_hw: Sequence = (224, 224)):
     """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
 
     ``capture`` truncates the graph at a named node and returns its raw
@@ -71,11 +73,30 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     autotune table, inference/autotune.py): pallas-routed convs run the
     fused kernels from kernels/matmul.py via the `*_acc` variants — the
     ReLU6/residual epilogues stay XLA (see inference/routing.py) — and
-    remain bit-exact."""
+    remain bit-exact.
+
+    ``input_mode='folded_float32'``: images arrive host-folded
+    (inference/fold.py fold4_images_3x3s2(x, 1) — (B, fh, fw, 48)) and the
+    3×3/s2 C=3 init conv runs as its bit-exact 2×2/s1 rewrite, avoiding
+    the ~42× C-minor read penalty (docs/perf_tpu.md).  ``input_hw`` is the
+    original image size (sets the post-fold slice)."""
     from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
+
+    folded = input_mode == 'folded_float32'
+    if folded:
+        from hawq_tpu.inference import fold as _fold
+        w_raw = np.asarray(fm['init_block.weight_int'])
+        assert w_raw.shape[:2] == (3, 3), 'fold requires the 3×3/s2 init'
+        w_fold = _fold.fold4_kernel_3x3s2(w_raw)
+        oh = (input_hw[0] + 2 - 3) // 2 + 1
+        ow = (input_hw[1] + 2 - 3) // 2 + 1
+
+    def _t4(a):
+        a = np.asarray(a)
+        return np.tile(a, 4) if a.size > 1 else a
 
     def conv1x1_acc(x8, key):
         """1×1 conv + int32 bias: pallas-routed or XLA."""
@@ -104,13 +125,24 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
 
         # init block: conv 3×3/s2 → relu6 → requant (16-bit node)
         w8, b32 = plan.conv('init_block')
-        acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
         acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
                      * np.float32(s_in))
-        acc = _relu6_clip(acc, acc_scale)
         s16, b16, sg16 = act_info('quant_act_int32')
-        mult = plan.requant_mult('init_rq', acc_scale, s16)
-        x = _requant(acc, mult, b16, sg16, residual_dtype)
+        if folded:
+            # 2×2/s1 folded rewrite; relu6 + requant in folded layout
+            # (per-channel vectors tiled over the 4 stride-2 origins),
+            # depth-to-space on the narrow dtype, slice odd tails
+            from hawq_tpu.inference import fold as _fold
+            acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
+            acc = _relu6_clip(acc, _t4(acc_scale))
+            mult = plan.requant_mult('init_rq_f', _t4(acc_scale), s16)
+            xq = _requant(acc, mult, b16, sg16, residual_dtype)
+            x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
+        else:
+            acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+            acc = _relu6_clip(acc, acc_scale)
+            mult = plan.requant_mult('init_rq', acc_scale, s16)
+            x = _requant(acc, mult, b16, sg16, residual_dtype)
         prev_scale = np.float32(s16)
         emit('init', x)
 

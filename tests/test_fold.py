@@ -100,3 +100,69 @@ def test_native_fold4_matches_numpy():
     for x in (xf, xi):
         np.testing.assert_array_equal(preproc.fold4_images(x),
                                       fold.fold4_images(x))
+
+
+def test_mobilenet_folded_init_bit_exact():
+    """folded_float32 input mode (host 4×4 fold of the 3×3/s2 init conv)
+    produces bit-identical logits to the direct engine."""
+    import jax
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    from hawq_tpu.models.mobilenetv2 import (
+        QMobileNetV2, TINY_MNV2_STAGES, TINY_MNV2_INIT_CH, TINY_MNV2_FINAL_CH)
+    from hawq_tpu.inference.freeze import freeze_mobilenetv2
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+
+    cfg = BitConfig(name='tiny_mnv2_u8', table={}, settings=QuantSettings())
+    model = QMobileNetV2(cfg=cfg, num_classes=8, stages=TINY_MNV2_STAGES,
+                         init_ch=TINY_MNV2_INIT_CH,
+                         final_ch=TINY_MNV2_FINAL_CH)
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(2, 32, 32, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(2):
+        v = calib(v, x)
+    fm = freeze_mobilenetv2(jax.tree.map(np.asarray, v), cfg,
+                            TINY_MNV2_STAGES, num_classes=8)
+
+    direct = np.asarray(build_mobilenetv2_engine(fm, TINY_MNV2_STAGES)(x))
+    xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 1))
+    eng_f = build_mobilenetv2_engine(fm, TINY_MNV2_STAGES,
+                                     input_mode='folded_float32',
+                                     input_hw=(32, 32))
+    np.testing.assert_array_equal(np.asarray(eng_f(xf)), direct)
+
+
+@pytest.mark.slow
+def test_inception_folded_init_bit_exact():
+    import jax
+    from hawq_tpu.configs.bit_config import BitConfig, QuantSettings
+    from hawq_tpu.models.inceptionv3 import QInceptionV3
+    from hawq_tpu.inference.engine_inception import (freeze_inceptionv3,
+                                                     build_inceptionv3_engine)
+
+    width_div = 16
+    cfg = BitConfig(name='it_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=width_div)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+    _, mut = model.apply(v, x, folded=True, update_stats=True,
+                         mutable=['quant_stats', 'batch_stats'])
+    v = {**v, **mut}
+    fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
+                            width_div=width_div)
+
+    direct = np.asarray(
+        build_inceptionv3_engine(fm, width_div=width_div)(x))
+    xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 0))
+    eng_f = build_inceptionv3_engine(fm, width_div=width_div,
+                                     input_mode='folded_float32',
+                                     input_hw=(96, 96))
+    np.testing.assert_array_equal(np.asarray(eng_f(xf)), direct)
