@@ -93,6 +93,12 @@ def main(argv=None) -> int:
                    help='write the compiled engine program text here (the '
                         'generated-kernel dump of the reference, '
                         'test_resnet_inference_time.py:82-89, 240-242)')
+    p.add_argument('--input-mode', default='float32',
+                   choices=['float32', 'folded_float32', 'uint8'],
+                   help='engine input path; folded_* folds on host '
+                        'automatically (resnet: fold4, inception: '
+                        'fold4_3x3s2 — the measured-fastest production '
+                        'paths, docs/perf_tpu.md)')
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -124,6 +130,29 @@ def main(argv=None) -> int:
         x = np.random.RandomState(0).rand(
             args.batch, size, size, 3).astype(np.float32)
 
+    # input-mode plumbing: the host applies the matching fold
+    fold_fn = None
+    if args.input_mode != 'float32':
+        if fm.arch == 'mobilenetv2' or fm.arch.endswith('v2'):
+            sys.stderr.write(f'--input-mode {args.input_mode} is not '
+                             f'supported for {fm.arch}\n')
+            return 2
+        kw['input_mode'] = args.input_mode
+        if args.input_mode == 'folded_float32':
+            from hawq_tpu.inference import fold
+            if fm.arch == 'inceptionv3':
+                kw['input_hw'] = (size, size)
+                fold_fn = lambda a: fold.fold4_images_3x3s2(a, 0)
+            else:
+                fold_fn = fold.fold4_images
+        elif args.input_mode == 'uint8':
+            if fm.arch == 'inceptionv3':
+                sys.stderr.write('uint8 mode is resnet-only\n')
+                return 2
+            x = np.clip(x * 255.0, 0, 255).astype(np.uint8)
+    if fold_fn is not None:
+        x = fold_fn(x)
+
     engine = build_engine_for(fm, **kw)
 
     if args.dump_hlo:
@@ -141,6 +170,10 @@ def main(argv=None) -> int:
         # deployment-side accuracy: the integer engine over a val folder
         # (reference prints running meters every 10 batches,
         # test_resnet_accuracy_imagenet.py:131-135)
+        if args.input_mode == 'uint8':
+            sys.stderr.write('--accuracy feeds normalized f32 batches; '
+                             'use float32 or folded_float32\n')
+            return 2
         from hawq_tpu.train.data import ImageFolderLoader
         # keep the tail batch (one extra engine compile) — accuracy must
         # cover the whole val set, as the reference driver does
@@ -150,7 +183,10 @@ def main(argv=None) -> int:
         for i, batch in enumerate(loader.epoch(0)):
             if args.max_batches and i >= args.max_batches:
                 break
-            logits = np.asarray(engine(jnp.asarray(batch['image'])))
+            img = batch['image']
+            if fold_fn is not None:
+                img = fold_fn(np.asarray(img))
+            logits = np.asarray(engine(jnp.asarray(img)))
             lbl = np.asarray(batch['label'])
             pred = np.argsort(logits, axis=-1)[:, ::-1]
             top1 += int((pred[:, 0] == lbl).sum())

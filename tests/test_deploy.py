@@ -86,6 +86,23 @@ def test_deploy_synthetic_arch(capsys):
     assert 'scheme=tiny18_uniform4' in out and 'deployed_size=' in out
 
 
+def test_deploy_folded_input_mode(frozen_path, capsys):
+    """--input-mode folded_float32 folds on host and classifies identically
+    to the direct path (same synthetic input, same RNG)."""
+    base = ['--frozen', frozen_path, '--image-size', '32', '--batch', '2']
+    assert deploy.main(base) == 0
+    direct = capsys.readouterr().out
+    assert deploy.main(base + ['--input-mode', 'folded_float32']) == 0
+    folded = capsys.readouterr().out
+    d = [l for l in direct.splitlines() if l.startswith('image ')]
+    f = [l for l in folded.splitlines() if l.startswith('image ')]
+    assert d == f and len(d) == 2
+
+    # unsupported family → clean error exit
+    assert deploy.main(base + ['--input-mode', 'uint8',
+                               '--accuracy', '/nonexistent']) == 2
+
+
 def test_deploy_dump_hlo(frozen_path, tmp_path, capsys):
     hlo = str(tmp_path / 'engine.hlo')
     rc = deploy.main(['--frozen', frozen_path, '--image-size', '32',
