@@ -66,6 +66,9 @@ def main():
     p.add_argument('--batch', type=int, default=64)
     p.add_argument('--image-size', type=int, default=224)
     p.add_argument('--out', default=None)
+    p.add_argument('--schemes', default='uniform8,uniform4',
+                   help='comma list; fewer schemes = fewer fresh compiles '
+                        '(no persistent compile cache over the TPU tunnel)')
     args = p.parse_args()
 
     import jax
@@ -94,8 +97,8 @@ def main():
     results = {'batch': args.batch, 'image_size': args.image_size,
                'device': str(jax.devices()[0])}
 
-    # QAT step (folded BN, int8 MXU forward) for uniform8 and uniform4
-    for scheme in ('uniform8', 'uniform4'):
+    # QAT step (folded BN, int8 MXU forward) per requested scheme
+    for scheme in args.schemes.split(','):
         cfg = get_bit_config(args.arch, scheme)
         model = QResNet(arch=args.arch, cfg=cfg, num_classes=1000)
         t = measure(model, folded=True, update_stats=True)

@@ -176,8 +176,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
             fm['features.q_init_block.q_conv1.q_convbn.weight_int'])
         assert w_raw.shape[:2] == (3, 3)
         w_fold = _fold.fold4_kernel_3x3s2(w_raw)
-        oh = (input_hw[0] - 3) // 2 + 1        # q_conv1: pad 0, stride 2
-        ow = (input_hw[1] - 3) // 2 + 1
+        oh, fh, _ = _fold.fold4_3x3s2_geometry(input_hw[0], 0)  # pad 0, s2
+        ow, fw, _ = _fold.fold4_3x3s2_geometry(input_hw[1], 0)
 
     def _t4(a):
         a = np.asarray(a)
@@ -242,6 +242,9 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 # 2×2/s1 folded rewrite of the 3×3/s2 C=3 conv; relu +
                 # requant in folded layout, then depth-to-space + slice
                 from hawq_tpu.inference import fold as _fold
+                assert x.shape[1:3] == (fh, fw), (
+                    f'folded input {x.shape[1:3]} does not match input_hw='
+                    f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
                 w8, b32 = plan.conv(f'{key}.q_convbn')
                 acc = _conv_i8(x, w_fold, (1, 1), 'VALID') + _t4(b32)
                 acc = jnp.maximum(acc, 0)

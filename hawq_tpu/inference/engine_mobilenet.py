@@ -91,8 +91,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         w_raw = np.asarray(fm['init_block.weight_int'])
         assert w_raw.shape[:2] == (3, 3), 'fold requires the 3×3/s2 init'
         w_fold = _fold.fold4_kernel_3x3s2(w_raw)
-        oh = (input_hw[0] + 2 - 3) // 2 + 1
-        ow = (input_hw[1] + 2 - 3) // 2 + 1
+        oh, fh, _ = _fold.fold4_3x3s2_geometry(input_hw[0], 1)
+        ow, fw, _ = _fold.fold4_3x3s2_geometry(input_hw[1], 1)
 
     def _t4(a):
         a = np.asarray(a)
@@ -133,6 +133,9 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             # (per-channel vectors tiled over the 4 stride-2 origins),
             # depth-to-space on the narrow dtype, slice odd tails
             from hawq_tpu.inference import fold as _fold
+            assert x8.shape[1:3] == (fh, fw), (
+                f'folded input {x8.shape[1:3]} does not match input_hw='
+                f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
             acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
             acc = _relu6_clip(acc, _t4(acc_scale))
             mult = plan.requant_mult('init_rq_f', _t4(acc_scale), s16)
