@@ -45,8 +45,10 @@ class DynamicBatcher:
     def __init__(self, infer_fn: Callable, batch_size: int,
                  image_shape: Tuple[int, int, int],
                  max_delay_ms: float = 5.0, depth: int = 2,
-                 image_dtype=np.float32):
+                 image_dtype=np.float32,
+                 host_transform: Optional[Callable] = None):
         self.infer_fn = infer_fn
+        self.host_transform = host_transform   # e.g. preproc+quantize+fold
         self.batch_size = batch_size
         self.image_shape = image_shape
         self.image_dtype = image_dtype
@@ -94,7 +96,12 @@ class DynamicBatcher:
             n_real = len(batch)
             while len(batch) < self.batch_size:          # pad to static shape
                 batch.append(np.zeros(self.image_shape, self.image_dtype))
-            x = jnp.asarray(np.stack(batch))
+            arr = np.stack(batch)
+            if self.host_transform is not None:
+                # production data plane: preprocess/quantize/fold on host
+                # (csrc/hawq_preproc.cpp) while the device runs batch i-1
+                arr = self.host_transform(arr)
+            x = jnp.asarray(arr)
             out = self.infer_fn(x)                        # async dispatch
             self._inflight.put((out, slots, n_real))
 
@@ -120,7 +127,9 @@ class ServingEngine:
     def __init__(self, engine_fn: Callable, n_devices: Optional[int] = None,
                  batch_size: int = 64,
                  image_shape: Tuple[int, int, int] = (224, 224, 3),
-                 image_dtype=np.float32):
+                 image_dtype=np.float32,
+                 host_transform: Optional[Callable] = None):
+        self.host_transform = host_transform
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
         self.mesh = pmesh.make_mesh(n_data=len(devices), n_model=1,
                                     devices=devices)
@@ -142,7 +151,8 @@ class ServingEngine:
     def batcher(self, max_delay_ms: float = 5.0, depth: int = 2
                 ) -> DynamicBatcher:
         return DynamicBatcher(self.infer, self.batch_size, self.image_shape,
-                              max_delay_ms, depth, self.image_dtype)
+                              max_delay_ms, depth, self.image_dtype,
+                              host_transform=self.host_transform)
 
     def throughput(self, n_batches: int = 16) -> float:
         """images/sec, measured with the in-jit loop chain (bench.py)."""
@@ -155,6 +165,8 @@ class ServingEngine:
         else:
             host = rng.rand(self.batch_size, *self.image_shape).astype(
                 self.image_dtype)
+        if self.host_transform is not None:
+            host = self.host_transform(host)
         x = jax.device_put(jnp.asarray(host), self._sharding)
         t = time_per_iter(self.infer, x)
         return self.batch_size / t

@@ -38,6 +38,31 @@ class TestDynamicBatcher:
             np.testing.assert_allclose(r, direct[i], rtol=1e-5, atol=1e-5)
 
 
+def test_batcher_host_transform_folded_engine():
+    """host_transform in the batcher runs the production input fold per
+    batch: requests submit raw images, the engine sees folded input, and
+    every request's logits are bit-identical to the direct folded run."""
+    from hawq_tpu.inference.fold import fold4_images
+
+    cfg = get_bit_config('tiny18', 'uniform8')
+    fm = synthetic_frozen_resnet('tiny18', cfg, num_classes=16)
+    eng_f = build_resnet_engine(fm, input_mode='folded_float32')
+
+    rng = np.random.RandomState(2)
+    images = rng.rand(6, 32, 32, 3).astype(np.float32)
+    direct = np.asarray(eng_f(jnp.asarray(fold4_images(images))))
+
+    batcher = DynamicBatcher(eng_f, batch_size=4, image_shape=(32, 32, 3),
+                             max_delay_ms=20, host_transform=fold4_images)
+    try:
+        slots = [batcher.submit(images[i]) for i in range(6)]
+        results = [s.get(timeout=60) for s in slots]
+    finally:
+        batcher.close()
+    for i, r in enumerate(results):
+        np.testing.assert_array_equal(r, direct[i])
+
+
 class TestShardedEngine:
     def test_multi_device_matches_single(self, tiny_engine):
         assert len(jax.devices()) == 8, 'conftest must force 8 CPU devices'
