@@ -74,6 +74,9 @@ class TrainerConfig:
     print_freq: int = 0              # per-step log interval (ProgressMeter)
     evaluate: bool = False           # eval-only, no training (quant_train.py
                                      # --evaluate, :455-458)
+    seed: int = 0                    # init/data seed (--seed)
+    workers: int = 4                 # loader threads (-j/--workers)
+    start_epoch: int = 0             # epoch offset (--start-epoch)
     # QuantSettings overrides — the reference's quant argparse tier
     # (quant_train.py:70-117); None keeps the scheme's stored settings
     bias_bit: Optional[int] = None               # --bias-bit
@@ -160,6 +163,7 @@ def _batches(cfg: TrainerConfig, train: bool, epoch: int) -> Iterator[dict]:
     loader = data_lib.ImageFolderLoader(
         os.path.join(cfg.data_dir, split), cfg.batch_size, train=train,
         image_size=cfg.image_size, data_percentage=cfg.data_percentage,
+        num_workers=cfg.workers, seed=cfg.seed,
         process_index=jax.process_index(), process_count=jax.process_count())
     yield from loader.epoch(epoch)
 
@@ -184,7 +188,7 @@ class Trainer:
         self.log = logging.getLogger('hawq_tpu')
         self.model, self.bit_cfg = build_model(cfg)
         self.best_acc = 0.0
-        self.start_epoch = 0
+        self.start_epoch = cfg.start_epoch
 
         # SPMD mesh over every visible device: batch over 'data', params
         # replicated, classifier head optionally tensor-sharded over 'model'
@@ -203,7 +207,7 @@ class Trainer:
 
         example = jnp.zeros((cfg.batch_size, cfg.image_size, cfg.image_size,
                              3), jnp.float32)
-        variables = self.model.init(jax.random.PRNGKey(0), example,
+        variables = self.model.init(jax.random.PRNGKey(cfg.seed), example,
                                     folded=True, update_stats=True)
         steps_per_epoch = cfg.steps_per_epoch or 1000
         tx = sgd_with_step_decay(
