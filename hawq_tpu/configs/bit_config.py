@@ -47,7 +47,7 @@ RESNET_UNITS = {
     'resnet101': (3, 4, 23, 3),
     'resnet152': (3, 8, 36, 3),
     'resnet200': (3, 24, 36, 3),      # quantized_resnet_v1.py:473-616 table
-    'resnet269': (3, 30, 48, 3),
+    'resnet269': (3, 30, 48, 8),
     'tiny18': (1, 2),
     'tiny50': (1, 2),
     # wide50: MXU-aligned channels at tiny depth — exercises the pallas

@@ -37,6 +37,7 @@ def test_qat_model_traces(arch):
     v = jax.eval_shape(
         lambda k, xi: model.init(k, xi, folded=True, update_stats=True),
         jax.random.PRNGKey(0), x)
-    n_units = {'resnet34': 16, 'resnet152': 50, 'resnet269': 84}[arch]
+    # 269 = 3·(3+30+48+8) + 2 (quantized_resnet_v1.py:536-537)
+    n_units = {'resnet34': 16, 'resnet152': 50, 'resnet269': 89}[arch]
     got = sum(1 for k in v['params'] if k.startswith('stage'))
     assert got == n_units, (got, n_units)
