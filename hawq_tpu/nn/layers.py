@@ -202,16 +202,16 @@ class QuantAct(nn.Module):
                 start += c
             q = jnp.concatenate(pieces, axis=-1)
         elif identity is None:
-            acc_scale = pre_act_scale * (
-                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
+            acc_scale = qops.exact(pre_act_scale * (
+                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale))
             q = qops.dyadic_requant(x, acc_scale, scale, self.bits, signed,
                                     z_int=x_int)
         else:
-            acc_scale = pre_act_scale * (
-                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale)
-            id_scale = identity_scale * (
+            acc_scale = qops.exact(pre_act_scale * (
+                jnp.ones(()) if pre_weight_scale is None else pre_weight_scale))
+            id_scale = qops.exact(identity_scale * (
                 jnp.ones(()) if identity_weight_scale is None
-                else identity_weight_scale)
+                else identity_weight_scale))
             q = qops.dyadic_requant_residual(x, acc_scale, identity,
                                              id_scale, scale, z_int=x_int,
                                              identity_int=identity_int)
@@ -297,16 +297,20 @@ class QuantConvBn(nn.Module):
                                       + batch_mean * (1 - self.bn_momentum))
                 running_var.value = (running_var.value * self.bn_momentum
                                      + batch_var * (1 - self.bn_momentum))
-            output_factor = gamma / jnp.sqrt(batch_var + self.bn_eps)
+            output_factor = qops.bn_inv_factor(gamma, batch_var, self.bn_eps)
             out = output_factor * (conv_out - batch_mean) + beta
             return out, conv_scale * output_factor, None
 
         # --- folded path ---
-        running_std = jnp.sqrt(running_var.value + self.bn_eps)
-        bn_factor = gamma / running_std
-        scaled_weight = kernel * bn_factor          # broadcast over Cout
-        scaled_bias = (jnp.zeros((self.features,)) - running_mean.value) \
-            * bn_factor + beta
+        bn_factor = qops.bn_inv_factor(gamma, running_var.value, self.bn_eps)
+        # exact(): the folded tensors must be consumed as leaves — XLA would
+        # otherwise reassociate (kernel·bn_factor)/weight_scale into
+        # kernel·(bn_factor/weight_scale), flipping borderline weight ints
+        # (see quant/ops.py exact()).
+        scaled_weight = qops.exact(kernel * bn_factor)   # broadcast over Cout
+        scaled_bias = qops.exact(
+            (jnp.zeros((self.features,)) - running_mean.value)
+            * bn_factor + beta)
 
         w_flat = scaled_weight.reshape(-1, self.features)
         if self.per_channel:
@@ -331,7 +335,7 @@ class QuantConvBn(nn.Module):
         weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
         w_int = qops.quantize_symmetric(scaled_weight, weight_scale,
                                         self.weight_bit)
-        bias_scale = weight_scale * pre_act_scale
+        bias_scale = qops.exact(weight_scale * pre_act_scale)
         b_int = qops.quantize_symmetric(scaled_bias, bias_scale, self.bias_bit)
 
         x_int = x / pre_act_scale
@@ -374,7 +378,7 @@ class QuantConv2d(nn.Module):
         weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
         w_int = qops.quantize_symmetric(kernel, weight_scale, self.weight_bit)
 
-        bias_scale = weight_scale * pre_act_scale
+        bias_scale = qops.exact(weight_scale * pre_act_scale)
         x_int = x / pre_act_scale
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros, (self.features,))
@@ -408,7 +412,7 @@ class QuantLinear(nn.Module):
             w_max = jnp.max(kernel)
         weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
         w_int = qops.quantize_symmetric(kernel, weight_scale, self.weight_bit)
-        bias_scale = weight_scale * pre_act_scale
+        bias_scale = qops.exact(weight_scale * pre_act_scale)
         b_int = qops.quantize_symmetric(bias, bias_scale, self.bias_bit)
 
         x_int = x / pre_act_scale
@@ -466,10 +470,11 @@ class QuantBnAct(nn.Module):
                                       + batch_mean * (1 - self.bn_momentum))
                 running_var.value = (running_var.value * self.bn_momentum
                                      + batch_var * (1 - self.bn_momentum))
-            bn_factor = gamma / jnp.sqrt(batch_var + self.bn_eps)
+            bn_factor = qops.bn_inv_factor(gamma, batch_var, self.bn_eps)
             y = (x - batch_mean) * bn_factor + beta
         else:
-            bn_factor = gamma / jnp.sqrt(running_var.value + self.bn_eps)
+            bn_factor = qops.bn_inv_factor(gamma, running_var.value,
+                                           self.bn_eps)
             if x_int is None:
                 x_int = qops.ste_recover_int(x, in_scale)
             y = x_int * (in_scale * bn_factor) \
@@ -500,7 +505,7 @@ class QuantBnAct(nn.Module):
             return q * scale, scale
 
         # folded: pure-integer BN affine + requant, engine-identical
-        a_scale = in_scale * bn_factor
+        a_scale = qops.exact(in_scale * bn_factor)
         b1 = qops.ste_round((beta - running_mean.value * bn_factor) / scale)
         q = qops.requant_core_ste(x_int, a_scale, scale, None, signed) + b1
         if self.relu:

@@ -51,6 +51,48 @@ DYADIC_MANTISSA_BITS = 23
 _EPS = 1e-8  # scale clamp floor, mirrors quant_utils.py:147,150,173
 
 
+def exact(x):
+    """Pin a quantization-critical value against XLA algebraic rewrites.
+
+    XLA's algebraic simplifier freely rewrites f32 arithmetic under jit —
+    ``a / sqrt(b)`` → ``a * rsqrt(b)``, ``(a / c) * b`` → ``(a * b) / c``,
+    and similar mul/div reassociations — each differing from the written
+    op order by 1 ulp on a large fraction of inputs.  A 1-ulp scale change
+    flips borderline round-half-up decisions, silently breaking bit-exact
+    QAT↔engine parity at real-model scale (eager execution and the numpy
+    freeze mirror both evaluate the written op order).  Wrapping a scale,
+    ratio, or multiplier in ``exact()`` makes it opaque to the simplifier:
+    the value is computed exactly as written and consumed as a leaf.
+
+    Gradients pass through unchanged (optimization_barrier is linear).
+    """
+    return jax.lax.optimization_barrier(x)
+
+
+def exact_div(x: jnp.ndarray, denom) -> jnp.ndarray:
+    """True IEEE division, immune to XLA's divide-by-constant rewrite.
+
+    XLA turns ``x / c`` (c a compile-time constant) into ``x * (1/c)``,
+    which differs from true division by 1 ulp on ~5% of inputs — enough to
+    flip borderline round-half-up decisions.  Pinning the denominator keeps
+    the divide a real divide.  Use for every quantization-critical division
+    whose denominator is a Python/numpy constant (bit-range denominators,
+    baked-in engine scales); divisions by traced values are not rewritten.
+    """
+    return x / exact(jnp.asarray(denom, jnp.result_type(x, jnp.float32)))
+
+
+def bn_inv_factor(gamma: jnp.ndarray, var: jnp.ndarray,
+                  eps: float) -> jnp.ndarray:
+    """γ / √(var + ε) with IEEE divide-then-sqrt semantics under jit.
+
+    Every BN fold in the framework MUST come through here: the sqrt is
+    pinned so the rsqrt rewrite cannot fire, and the quotient is pinned so
+    downstream products cannot reassociate into it (see :func:`exact`).
+    """
+    return exact(gamma / exact(jnp.sqrt(var + eps)))
+
+
 def round_half_up(x: jnp.ndarray) -> jnp.ndarray:
     """Deterministic round-half-up (0.5 → 1, -0.5 → 0).
 
@@ -76,7 +118,7 @@ def symmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
     """
     n = 2 ** (num_bits - 1) - 1
     bound = jnp.maximum(jnp.abs(sat_min), jnp.abs(sat_max))
-    return jnp.clip(bound, min=_EPS) / n
+    return exact(exact_div(jnp.clip(bound, min=_EPS), n))
 
 
 def asymmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
@@ -87,7 +129,7 @@ def asymmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
     quant_utils.py:155-185.  scale = (max - min).clip(1e-8) / (2**b - 1).
     """
     n = 2 ** num_bits - 1
-    return jnp.clip(sat_max - sat_min, min=_EPS) / n
+    return exact(exact_div(jnp.clip(sat_max - sat_min, min=_EPS), n))
 
 
 def percentile_bounds(x_flat: jnp.ndarray, lower_pct: float,
@@ -225,7 +267,7 @@ def dyadic_multiplier(scale_ratio: jnp.ndarray) -> jnp.ndarray:
     rounding, and is the canonical requant multiplier everywhere.
     """
     m, e = dyadic_decompose(scale_ratio)
-    return jnp.ldexp(m, -e)
+    return exact(jnp.ldexp(m, -e))
 
 
 def _requant_core(z_int: jnp.ndarray, scale_ratio: jnp.ndarray) -> jnp.ndarray:
@@ -273,7 +315,7 @@ def requant_core_ste(z_int: jnp.ndarray, acc_scale: jnp.ndarray,
     producing layer's 1/acc_scale value→int factor this reproduces the
     reference's g/out_scale (quant_utils.py:458-460).
     """
-    out = _requant_core(z_int, acc_scale / out_scale)
+    out = _requant_core(z_int, exact(acc_scale / out_scale))
     if num_bits is None:
         return out
     lo, hi = requant_clip_bounds(num_bits, signed)

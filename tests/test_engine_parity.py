@@ -21,7 +21,10 @@ from hawq_tpu.inference.freeze import freeze_resnet, model_size_bytes
 from hawq_tpu.inference.engine import build_resnet_engine
 
 _CASES = [('tiny18', 'uniform8'), ('tiny18', 'uniform4'),
-          ('tiny50', 'uniform8'), ('tiny50', 'uniform4')]
+          ('tiny50', 'uniform8'), ('tiny50', 'uniform4'),
+          # CIFAR form: 3×3/s1 init, no maxpool, 3 stages
+          # (quantized_resnet_v1.py:334-348, 504-513)
+          ('resnet20_cifar', 'uniform8')]
 _cache = {}
 
 
@@ -168,3 +171,18 @@ def test_per_unit_golden_featuremaps():
         np.testing.assert_array_equal(
             qat_post_relu, eng.astype(np.float64),
             err_msg=f'{node}: per-unit featuremap parity broken')
+
+
+def test_jit_eager_forward_identical():
+    """The jitted QAT forward is bit-identical to eager execution.
+
+    resnet20_cifar is the canary: at ~0.27M weights the probability of a
+    borderline rounding somewhere in the graph is ~1, so any XLA algebraic
+    rewrite of the scale arithmetic (rsqrt, reciprocal-multiply, mul/div
+    reassociation — see quant/ops.py exact()) shows up here as a logits
+    mismatch.  The tiny-arch parity tests alone cannot catch this class."""
+    model, cfg, v, x = _calibrated_model('resnet20_cifar', 'uniform8')
+    eager = np.asarray(model.apply(v, x, folded=True, update_stats=False))
+    jit = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, folded=True, update_stats=False))(v, x))
+    np.testing.assert_array_equal(eager, jit)

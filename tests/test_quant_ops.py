@@ -165,3 +165,56 @@ class TestPercentile:
         x = jnp.arange(100, dtype=jnp.float32) - 50
         lo, hi = qops.percentile_bounds(x, 0.0, 99.0)
         assert float(lo) == 0.0
+
+
+class TestXlaRewriteImmunity:
+    """XLA's algebraic simplifier rewrites f32 arithmetic under jit
+    (a/sqrt(b) → a·rsqrt(b), x/const → x·(1/const), mul/div reassociation),
+    each off by 1 ulp on a large input fraction — enough to flip borderline
+    round-half-up decisions and silently break QAT↔engine bit-exactness at
+    real-model scale.  quant/ops pins every quantization-critical value with
+    optimization_barrier (exact / exact_div / bn_inv_factor); these tests
+    pin the pins."""
+
+    def test_bn_inv_factor_jit_matches_eager(self):
+        rng = np.random.RandomState(1)
+        g = jnp.asarray(rng.rand(4096).astype(np.float32) * 2 - 1)
+        v = jnp.asarray(rng.rand(4096).astype(np.float32) + 0.01)
+        f = lambda g, v: qops.bn_inv_factor(g, v, 1e-5)
+        np.testing.assert_array_equal(np.asarray(f(g, v)),
+                                      np.asarray(jax.jit(f)(g, v)))
+
+    def test_exact_div_by_constant_jit_matches_eager(self):
+        rng = np.random.RandomState(2)
+        x = jnp.asarray(rng.rand(8192).astype(np.float32))
+        for denom in (127, 15, 0.0127):
+            f = lambda x, d=denom: qops.exact_div(x, d)
+            np.testing.assert_array_equal(np.asarray(f(x)),
+                                          np.asarray(jax.jit(f)(x)))
+
+    def test_scale_chain_jit_matches_eager(self):
+        """The full scale chain (bn fold → weight scale → bias scale →
+        dyadic ratio → requant) is jit/eager-identical."""
+        rng = np.random.RandomState(3)
+        k = jnp.asarray(rng.randn(3, 3, 16, 16).astype(np.float32))
+        g = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+        var = jnp.asarray(rng.rand(16).astype(np.float32) + 0.01)
+        s_a = jnp.float32(0.0317)
+        s_o = jnp.float32(0.0219)
+        z = jnp.asarray(rng.randint(-2**20, 2**20, (2, 8, 8, 16))
+                        .astype(np.float32))
+
+        def chain(k, g, var, s_a, s_o, z):
+            bf = qops.bn_inv_factor(g, var, 1e-5)
+            sw = qops.exact(k * bf)
+            wf = sw.reshape(-1, 16)
+            ws = qops.symmetric_quant_scale(8, jnp.min(wf, 0),
+                                            jnp.max(wf, 0))
+            w_int = qops.quantize_symmetric(sw, ws, 8)
+            bs = qops.exact(ws * s_a)
+            return w_int, qops.requant_core_ste(z, bs, s_o, None, True)
+
+        eag = chain(k, g, var, s_a, s_o, z)
+        jit = jax.jit(chain)(k, g, var, s_a, s_o, z)
+        for a, b in zip(eag, jit):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
