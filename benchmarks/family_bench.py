@@ -60,7 +60,7 @@ def main():
         with open(out_path) as f:
             results = json.load(f)
 
-    def record(name, fn, x, fm):
+    def record(name, fn, x, fm=None, extra=None):
         if name in results:
             print(f'{name}: cached', flush=True)
             return
@@ -68,11 +68,29 @@ def main():
         results[name] = {
             'ms_per_batch': round(t * 1e3, 3),
             'images_per_sec': round(args.batch / t, 1),
-            'deployed_mb': round(deployed_bytes(fm) / 2 ** 20, 2),
         }
+        if fm is not None:
+            results[name]['deployed_mb'] = round(
+                deployed_bytes(fm) / 2 ** 20, 2)
+        if extra:
+            results[name].update(extra)
         with open(out_path, 'w') as f:
             json.dump(results, f, indent=1, sort_keys=True)
         print(f'{name}: {results[name]}', flush=True)
+
+    # --- fp32 baselines (the speedup denominators; the reference's family
+    # tables quote speedups vs the float model, model_zoo.md:50-56)
+    import jax
+    from hawq_tpu.models.mobilenetv2 import FloatMobileNetV2
+    from hawq_tpu.models.inceptionv3 import FloatInceptionV3
+    for name, model, hw in (('mobilenetv2_fp32', FloatMobileNetV2(), 224),
+                            ('inceptionv3_fp32', FloatInceptionV3(), 299)):
+        if name in results:
+            print(f'{name}: cached', flush=True)
+            continue
+        xf = jnp.asarray(rng.rand(args.batch, hw, hw, 3).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), xf)
+        record(name, lambda x, v=variables, m=model: m.apply(v, x), xf)
 
     for scheme in ('uniform8', 'uniform4'):
         # --- MobileNetV2, 224x224
@@ -116,6 +134,16 @@ def main():
             if any(v != 'xla' for v in routing.values()):
                 eng_r = build_inceptionv3_engine(fm, routing=routing)
                 record(f'inceptionv3_{scheme}_routed', eng_r, xi, fm)
+
+    # annotate integer rows with speedup vs the family's fp32 baseline
+    for name, row in results.items():
+        family = name.split('_')[0]
+        base = results.get(f'{family}_fp32')
+        if base and name != f'{family}_fp32':
+            row['speedup_vs_fp32'] = round(
+                base['ms_per_batch'] / row['ms_per_batch'], 2)
+    with open(out_path, 'w') as f:
+        json.dump(results, f, indent=1, sort_keys=True)
 
     print(json.dumps(results, indent=1, sort_keys=True))
     print('wrote', out_path)

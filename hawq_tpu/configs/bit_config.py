@@ -53,12 +53,25 @@ RESNET_UNITS = {
     # wide50: MXU-aligned channels at tiny depth — exercises the pallas
     # conv-kernel routing (requires C%128==0) on the CPU test budget
     'wide50': (1, 1),
+    # CIFAR-style resnets (quantized_resnet_v1.py:504-513): 3 stages of
+    # (n−2)/6 basic units (n < 164) or (n−2)/9 bottlenecks (n ≥ 164),
+    # 3×3/s1 init conv, no maxpool.
+    'resnet20_cifar': (3, 3, 3),
+    'resnet56_cifar': (9, 9, 9),
+    'resnet110_cifar': (18, 18, 18),
+    'resnet164_cifar': (18, 18, 18),
 }
 # Basic blocks have 2 convs, bottlenecks 3.
 RESNET_CONVS_PER_UNIT = {'resnet18': 2, 'resnet34': 2, 'resnet50': 3,
                          'resnet50b': 3, 'resnet101': 3, 'resnet152': 3,
                          'resnet200': 3, 'resnet269': 3,
-                         'tiny18': 2, 'tiny50': 3, 'wide50': 3}
+                         'tiny18': 2, 'tiny50': 3, 'wide50': 3,
+                         'resnet20_cifar': 2, 'resnet56_cifar': 2,
+                         'resnet110_cifar': 2, 'resnet164_cifar': 3}
+# Archs using the CIFAR init block: 3×3/s1/pad1 conv, no maxpool
+# (quantized_resnet_v1.py:334-348, 375-380).
+RESNET_CIFAR_ARCHS = frozenset({'resnet20_cifar', 'resnet56_cifar',
+                                'resnet110_cifar', 'resnet164_cifar'})
 
 
 @dataclasses.dataclass(frozen=True)

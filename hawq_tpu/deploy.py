@@ -50,7 +50,10 @@ def build_engine_for(fm: FrozenModel, **kw):
 
 
 def default_image_size(fm: FrozenModel) -> int:
-    return 299 if fm.arch == 'inceptionv3' else 224
+    from hawq_tpu.configs.bit_config import RESNET_CIFAR_ARCHS
+    if fm.arch == 'inceptionv3':
+        return 299
+    return 32 if fm.arch in RESNET_CIFAR_ARCHS else 224
 
 
 def _load_frozen_or_synthetic(args) -> FrozenModel:
@@ -106,7 +109,7 @@ def main(argv=None) -> int:
     size = args.image_size or default_image_size(fm)
     from hawq_tpu.inference.freeze import model_size_bytes
     print(f'arch={fm.arch} scheme={fm.cfg.name} classes={fm.num_classes} '
-          f'tensors={len(fm.tensors)} '
+          f'tensors={len(fm.tensors)} image_size={size} '
           f'deployed_size={model_size_bytes(fm) / 1e6:.2f}MB')
 
     if args.export_onnx:

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hawq_tpu.configs.bit_config import (RESNET_UNITS, RESNET_CONVS_PER_UNIT)
+from hawq_tpu.configs.bit_config import (RESNET_UNITS, RESNET_CONVS_PER_UNIT,
+                                         RESNET_CIFAR_ARCHS)
 from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.quant import ops as qops
 
@@ -277,6 +278,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                                   acc_only=True)
     bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
     conv1_stride = arch == 'resnet50'
+    cifar = arch in RESNET_CIFAR_ARCHS
     init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
 
     # All scales are static python/numpy values at build time.
@@ -314,9 +316,14 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
         if input_mode == 'uint8':
-            v = ((images.astype(jnp.float32) / jnp.float32(255.0)
-                  - u8_mean) / u8_std)
-            x8 = jnp.clip(jnp.floor(v / jnp.float32(s_in)
+            # exact_div: all three denominators are baked constants —
+            # XLA would rewrite the divides into reciprocal multiplies,
+            # breaking the bit-identity with the host preprocessing
+            # (quant/ops.py exact_div).
+            v = qops.exact_div(
+                qops.exact_div(images.astype(jnp.float32), 255.0) - u8_mean,
+                u8_std)
+            x8 = jnp.clip(jnp.floor(qops.exact_div(v, s_in)
                                     + jnp.float32(0.5)),
                           -128, 127).astype(jnp.int8)
         elif input_mode == 'folded_int8':
@@ -324,8 +331,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         else:   # 'float32' / 'folded_float32': device-side quantization.
             # For folded input the pad zeros quantize to integer 0, exactly
             # like the device-side zero padding of the direct conv.
-            x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
-                          ).astype(jnp.int8)
+            x8 = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
+                          -128, 127).astype(jnp.int8)
         emit('input', x8)
 
         # ---- init block ----
@@ -349,7 +356,11 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             x16 = jnp.maximum(x16, 0)
             x16 = _fold.depth_to_space_2x2(x16)
         else:
-            if s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
+            if cifar:
+                # CIFAR init: 3×3/s1/pad1, no maxpool
+                # (quantized_resnet_v1.py:334-348)
+                acc = _conv_i8(x8, w8, (1, 1), ((1, 1), (1, 1))) + b32
+            elif s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
                 # space-to-depth: the 7×7/s2 conv on 3 channels wastes the
                 # 128-wide MXU; fold 2×2 pixel blocks into channels and run
                 # the exact same MACs as a 4×4/s1 conv on 12 channels.
@@ -362,7 +373,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             mult = plan.requant_mult('init_requant', s_init, s16)
             x16 = _requant(acc, mult, b16, signed16, residual_dtype)
             x16 = jnp.maximum(x16, 0)
-        x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
+        if not cifar:
+            x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
         prev_scale = np.float32(s16)
         emit('init', x16)
 

@@ -230,7 +230,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         ip = 'features.q_init_block'
         s_in, b_in, _ = act_info(f'{ip}.q_input_activ')
         n = 2 ** (b_in - 1) - 1
-        x = jnp.clip(qops.round_half_up(images / s_in), -n - 1, n
+        x = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
+                     -n - 1, n
                      ).astype(jnp.int8)
         emit('input', x)
         s = np.float32(s_in)

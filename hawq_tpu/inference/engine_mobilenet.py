@@ -119,7 +119,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             captured['value'] = value
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
-        x8 = jnp.clip(qops.round_half_up(images / s_in), -128, 127
+        x8 = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
+                      -128, 127
                       ).astype(jnp.int8)
         emit('input', x8)
 

@@ -14,7 +14,8 @@ from typing import Dict
 import numpy as np
 
 from hawq_tpu.configs.bit_config import (BitConfig, RESNET_UNITS,
-                                         RESNET_CONVS_PER_UNIT)
+                                         RESNET_CONVS_PER_UNIT,
+                                         RESNET_CIFAR_ARCHS)
 from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.models.resnet import _STAGE_CHANNELS, _INIT_FEATURES
 
@@ -44,7 +45,8 @@ def synthetic_frozen_resnet(arch: str, cfg: BitConfig,
     act('quant_input')
     init_feats = _INIT_FEATURES.get(arch, 64)
     init_key = 'quant_init_convbn' if bottleneck else 'quant_init_block_convbn'
-    conv(init_key, 7, 7, 3, init_feats)
+    init_k = 3 if arch in RESNET_CIFAR_ARCHS else 7
+    conv(init_key, init_k, init_k, 3, init_feats)
     act('quant_act_int32')
 
     in_ch = init_feats

@@ -352,3 +352,107 @@ class QInceptionV3(nn.Module):
                           per_channel=cfg.settings.per_channel,
                           name='q_fc')(x, a_sf)
         return x
+
+
+class FloatInceptionV3(nn.Module):
+    """fp32 baseline with identical topology (speedup denominator for the
+    family benchmarks; mirrors the quantized builders' channel tables so
+    MAC counts match exactly)."""
+    num_classes: int = 1000
+    width_div: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        d = lambda c: _cdiv(c, self.width_div) if self.width_div > 1 else c
+
+        def convbn(h, feats, kernel, stride, padding, name):
+            h = nn.Conv(feats, _ksize(kernel), strides=(stride, stride),
+                        padding=_pad(padding), use_bias=False,
+                        name=name + '_conv')(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-5, name=name + '_bn')(h)
+            return nn.relu(h)
+
+        def conv_seq(h, prefix, out_channels, kernels, strides, paddings):
+            for i, (c, k, s, p) in enumerate(zip(out_channels, kernels,
+                                                 strides, paddings), start=1):
+                h = convbn(h, c, k, s, p, f'{prefix}_c{i}')
+            return h
+
+        def avg_branch(h, prefix, feats):
+            h = nn.avg_pool(h, (3, 3), strides=(1, 1),
+                            padding=((1, 1), (1, 1)))
+            return convbn(h, feats, 1, 1, 0, prefix)
+
+        # init block: 5 convs + 2 maxpools (q_inceptionv3.py:652-700)
+        for i, (c, k, s, p) in enumerate(
+                zip((32, 32, 64, 80, 192), (3, 3, 3, 1, 3),
+                    (2, 1, 1, 1, 1), (0, 0, 1, 0, 0)), start=1):
+            x = convbn(x, d(c), k, s, p, f'init_c{i}')
+            if i in (3, 5):
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')
+
+        b_idx = 0
+        for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
+            for j, out_ch in enumerate(stage, start=1):
+                pre = f's{i}u{j}'
+                if j == 1 and i == 2:        # Reduction-A
+                    x = jnp.concatenate([
+                        conv_seq(x, pre + 'b1', (d(384),), (3,), (2,), (0,)),
+                        conv_seq(x, pre + 'b2', (d(64), d(96), d(96)),
+                                 (1, 3, 3), (1, 1, 2), (0, 1, 0)),
+                        nn.max_pool(x, (3, 3), strides=(2, 2),
+                                    padding='VALID')], axis=-1)
+                elif j == 1 and i == 3:      # Reduction-B
+                    x = jnp.concatenate([
+                        conv_seq(x, pre + 'b1', (d(192), d(320)), (1, 3),
+                                 (1, 2), (0, 0)),
+                        conv_seq(x, pre + 'b2',
+                                 (d(192), d(192), d(192), d(192)),
+                                 (1, (1, 7), (7, 1), 3), (1, 1, 1, 2),
+                                 (0, (0, 3), (3, 0), 0)),
+                        nn.max_pool(x, (3, 3), strides=(2, 2),
+                                    padding='VALID')], axis=-1)
+                elif i == 1:                 # unit A
+                    x = jnp.concatenate([
+                        convbn(x, d(64), 1, 1, 0, pre + 'b1'),
+                        conv_seq(x, pre + 'b2', (d(48), d(64)), (1, 5),
+                                 (1, 1), (0, 2)),
+                        conv_seq(x, pre + 'b3', (d(64), d(96), d(96)),
+                                 (1, 3, 3), (1, 1, 1), (0, 1, 1)),
+                        avg_branch(x, pre + 'b4', d(out_ch - 224)),
+                    ], axis=-1)
+                elif i == 2:                 # unit B
+                    mid = d(INCEPTION_B_MID[b_idx])
+                    b_idx += 1
+                    x = jnp.concatenate([
+                        convbn(x, d(192), 1, 1, 0, pre + 'b1'),
+                        conv_seq(x, pre + 'b2', (mid, mid, d(192)),
+                                 (1, (1, 7), (7, 1)), (1, 1, 1),
+                                 (0, (0, 3), (3, 0))),
+                        conv_seq(x, pre + 'b3', (mid, mid, mid, mid, d(192)),
+                                 (1, (7, 1), (1, 7), (7, 1), (1, 7)),
+                                 (1, 1, 1, 1, 1),
+                                 (0, (3, 0), (0, 3), (3, 0), (0, 3))),
+                        avg_branch(x, pre + 'b4', d(192))], axis=-1)
+                else:                        # unit C
+                    h2 = convbn(x, d(384), 1, 1, 0, pre + 'b2c1')
+                    b2 = jnp.concatenate([
+                        convbn(h2, h2.shape[-1], (1, 3), 1, (0, 1),
+                               pre + 'b2h'),
+                        convbn(h2, h2.shape[-1], (3, 1), 1, (1, 0),
+                               pre + 'b2v')], axis=-1)
+                    h3 = conv_seq(x, pre + 'b3', (d(448), d(384)), (1, 3),
+                                  (1, 1), (0, 1))
+                    b3 = jnp.concatenate([
+                        convbn(h3, h3.shape[-1], (1, 3), 1, (0, 1),
+                               pre + 'b3h'),
+                        convbn(h3, h3.shape[-1], (3, 1), 1, (1, 0),
+                               pre + 'b3v')], axis=-1)
+                    x = jnp.concatenate([
+                        convbn(x, d(320), 1, 1, 0, pre + 'b1'), b2, b3,
+                        avg_branch(x, pre + 'b4', d(192))], axis=-1)
+
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dense(self.num_classes, name='output')(x)
+        return x

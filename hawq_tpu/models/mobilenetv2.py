@@ -185,3 +185,45 @@ class QMobileNetV2(nn.Module):
                                 per_channel=cfg.settings.per_channel,
                                 name='output')(x, act_scale)
         return x.reshape(x.shape[0], -1)
+
+
+class FloatMobileNetV2(nn.Module):
+    """fp32 baseline with identical topology (speedup denominator for the
+    family benchmarks; the reference's speedups are likewise quoted against
+    the float model, model_zoo.md:50-56)."""
+    num_classes: int = 1000
+    stages: Tuple = MOBILENETV2_STAGES
+    init_ch: int = MOBILENETV2_INIT_CH
+    final_ch: int = MOBILENETV2_FINAL_CH
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        def convbn(h, feats, kernel, strides, padding, name, groups=1):
+            h = nn.Conv(feats, kernel, strides=strides, padding=padding,
+                        feature_group_count=groups, use_bias=False,
+                        name=name + '_conv')(h)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                                epsilon=1e-5, name=name + '_bn')(h)
+
+        x = relu6(convbn(x, self.init_ch, (3, 3), (2, 2), ((1, 1), (1, 1)),
+                         'init'))
+        in_ch = self.init_ch
+        for i, stage in enumerate(self.stages, start=1):
+            for j, out_ch in enumerate(stage, start=1):
+                stride = 2 if (j == 1 and i != 1) else 1
+                expansion = (i != 1) or (j != 1)
+                mid = in_ch * 6 if expansion else in_ch
+                name = f'stage{i}_unit{j}'
+                residual = (in_ch == out_ch) and (stride == 1)
+                h = relu6(convbn(x, mid, (1, 1), (1, 1), 'VALID',
+                                 name + '_c1'))
+                h = relu6(convbn(h, mid, (3, 3), (stride, stride),
+                                 ((1, 1), (1, 1)), name + '_c2', groups=mid))
+                h = convbn(h, out_ch, (1, 1), (1, 1), 'VALID', name + '_c3')
+                x = x + h if residual else h
+                in_ch = out_ch
+        x = relu6(convbn(x, self.final_ch, (1, 1), (1, 1), 'VALID', 'final'))
+        x = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x = nn.Conv(self.num_classes, (1, 1), padding='VALID',
+                    name='output')(x)
+        return x.reshape(x.shape[0], -1)

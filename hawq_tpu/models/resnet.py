@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from hawq_tpu.configs.bit_config import (BitConfig, RESNET_UNITS,
-                                         RESNET_CONVS_PER_UNIT)
+                                         RESNET_CONVS_PER_UNIT,
+                                         RESNET_CIFAR_ARCHS)
 from hawq_tpu.nn import layers as L
 
 # (mid_channels_stage1.., out_channels_stage1..) per arch
@@ -46,8 +47,16 @@ _STAGE_CHANNELS = {
     'tiny18': (None, (16, 32)),
     'tiny50': ((8, 16), (32, 64)),
     'wide50': ((128, 128), (256, 256)),
+    # CIFAR filter lists (quantized_resnet_v1.py:504-513):
+    # basic [16, 16, 32, 64]; bottleneck (n≥164) [16, 64, 128, 256]
+    'resnet20_cifar': (None, (16, 32, 64)),
+    'resnet56_cifar': (None, (16, 32, 64)),
+    'resnet110_cifar': (None, (16, 32, 64)),
+    'resnet164_cifar': ((16, 32, 64), (64, 128, 256)),
 }
-_INIT_FEATURES = {'tiny18': 16, 'tiny50': 16, 'wide50': 64}
+_INIT_FEATURES = {'tiny18': 16, 'tiny50': 16, 'wide50': 64,
+                  'resnet20_cifar': 16, 'resnet56_cifar': 16,
+                  'resnet110_cifar': 16, 'resnet164_cifar': 16}
 
 
 def _qact(cfg: BitConfig, key: str, name: str) -> L.QuantAct:
@@ -204,18 +213,22 @@ class QResNet(nn.Module):
         init_feats = _INIT_FEATURES.get(self.arch, 64)
         init_key = ('quant_init_convbn' if bottleneck
                     else 'quant_init_block_convbn')
+        cifar = self.arch in RESNET_CIFAR_ARCHS
+        # CIFAR init: 3×3/s1/pad1, no maxpool (quantized_resnet_v1.py:334-348)
+        init_k, init_s, init_p = (((3, 3), (1, 1), ((1, 1), (1, 1))) if cifar
+                                  else ((7, 7), (2, 2), ((3, 3), (3, 3))))
         x, w_scale, acc = _qconvbn(cfg, init_key, init_key.replace('.', '_'),
-                                   init_feats, (7, 7), (2, 2),
-                                   ((3, 3), (3, 3)))(
+                                   init_feats, init_k, init_s, init_p)(
                                        x, act_scale, folded=folded,
                                        update_stats=update_stats)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)))
-        # max-pool commutes with the (monotone) requant: pool the exact
-        # integer accumulator alongside the value
-        if acc is not None:
-            acc = nn.max_pool(acc, (3, 3), strides=(2, 2),
-                              padding=((1, 1), (1, 1)))
+        if not cifar:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+            # max-pool commutes with the (monotone) requant: pool the exact
+            # integer accumulator alongside the value
+            if acc is not None:
+                acc = nn.max_pool(acc, (3, 3), strides=(2, 2),
+                                  padding=((1, 1), (1, 1)))
         x, act_scale = _qact(cfg, 'quant_act_int32', 'quant_act_int32')(
             x, act_scale, w_scale, x_int=acc, update_stats=update_stats)
         x = nn.relu(x)
@@ -275,9 +288,15 @@ class FloatResNet(nn.Module):
             return h
 
         init_feats = _INIT_FEATURES.get(self.arch, 64)
-        x = convbn(x, init_feats, (7, 7), (2, 2), ((3, 3), (3, 3)), 'init')
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.arch in RESNET_CIFAR_ARCHS:
+            x = nn.relu(convbn(x, init_feats, (3, 3), (1, 1),
+                               ((1, 1), (1, 1)), 'init'))
+        else:
+            x = convbn(x, init_feats, (7, 7), (2, 2), ((3, 3), (3, 3)),
+                       'init')
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
 
         in_ch = init_feats
         for s, n_units in enumerate(units, start=1):

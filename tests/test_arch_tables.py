@@ -28,6 +28,19 @@ def test_engine_traces(arch, scheme):
     assert out.shape == (8, 1000)
 
 
+@pytest.mark.parametrize('arch,scheme,hw', [
+    ('resnet56_cifar', 'uniform8', 32),
+    ('resnet110_cifar', 'uniform4', 32),
+    ('resnet164_cifar', 'uniform8', 32)])
+def test_cifar_engine_traces(arch, scheme, hw):
+    cfg = get_bit_config(arch, scheme)
+    fm = synthetic_frozen_resnet(arch, cfg, num_classes=10)
+    eng = build_resnet_engine(fm)
+    out = jax.eval_shape(eng, jax.ShapeDtypeStruct((8, hw, hw, 3),
+                                                   jnp.float32))
+    assert out.shape == (8, 10)
+
+
 @pytest.mark.parametrize('arch', ['resnet34', 'resnet152', 'resnet269'])
 def test_qat_model_traces(arch):
     from hawq_tpu.models.resnet import QResNet

@@ -110,3 +110,13 @@ def test_deploy_dump_hlo(frozen_path, tmp_path, capsys):
     assert rc == 0
     text = open(hlo).read()
     assert 'convolution' in text and len(text) > 1000
+
+
+def test_deploy_cifar_arch(capsys):
+    """CIFAR form end to end through the driver: 32×32 default image size,
+    3-stage graph (quantized_resnet_v1.py:334-348, 504-513)."""
+    rc = deploy.main(['--arch', 'resnet20_cifar', '--scheme', 'uniform8',
+                      '--batch', '2'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'arch=resnet20_cifar' in out and 'image_size=32' in out

@@ -192,3 +192,27 @@ class TestMobileNetV2FeaturemapParity:
             qat = np.asarray(inter[mod][act]['q_int'][0])
             np.testing.assert_array_equal(qat, eng.astype(np.float64),
                                           err_msg=node)
+
+
+class TestFloatBaselines:
+    """fp32 baseline models: topology parity with the published float models
+    (speedup denominators for the family benchmarks).  Param counts pin the
+    topology: MobileNetV2 3.50M, InceptionV3 23.8M (pytorchcv model zoo)."""
+
+    @pytest.mark.parametrize('model_cls,hw,want_params', [
+        ('FloatMobileNetV2', 224, 3_505_960),
+        ('FloatInceptionV3', 299, 23_834_568),
+    ])
+    def test_param_count_and_shape(self, model_cls, hw, want_params):
+        if model_cls == 'FloatMobileNetV2':
+            from hawq_tpu.models.mobilenetv2 import FloatMobileNetV2 as M
+        else:
+            from hawq_tpu.models.inceptionv3 import FloatInceptionV3 as M
+        model = M()
+        x = jax.ShapeDtypeStruct((2, hw, hw, 3), jnp.float32)
+        v = jax.eval_shape(lambda k, xi: model.init(k, xi),
+                           jax.random.PRNGKey(0), x)
+        got = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v['params']))
+        assert got == want_params, (got, want_params)
+        out = jax.eval_shape(lambda vv, xi: model.apply(vv, xi), v, x)
+        assert out.shape == (2, 1000)
