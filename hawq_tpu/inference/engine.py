@@ -92,6 +92,66 @@ def _requant(acc: jnp.ndarray, mult: jnp.ndarray, bits: int, signed: bool,
     return qops.requant_int32(acc, mult, bits, signed, out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# bf16-exact convolution route
+#
+# int8 integers are exactly representable in bfloat16 (8 significand bits,
+# |v| <= 255), the MXU multiplies bf16 pairs into an exact float32 product
+# (<= 14 significand bits) and accumulates in float32, where every integer
+# partial sum below 2**24 is exact.  So whenever the worst-case accumulator
+# magnitude of an integer conv — computed host-side from the frozen integer
+# weights — stays under 2**24, running it as bf16×bf16→f32 is bit-identical
+# to the int8×int8→int32 conv while tiling at the (16, 128) bf16 layout
+# instead of int8's (32, 128): decisive at small channel counts / high
+# resolution (MobileNetV2's 112²/56² stages), and at full bf16 MXU rate
+# (2× the f32 rate the fp32 baseline model gets).  The reference's analog
+# lever is picking a different CUDA schedule per layer shape via AutoTVM
+# (test_resnet_inference_time.py:189-217); here the layout choice is made
+# by dtype and XLA does the scheduling.
+# ---------------------------------------------------------------------------
+
+ACC_EXACT_F32_BOUND = 2.0 ** 24
+
+
+def conv_acc_bound(w_int: np.ndarray, bias_int: np.ndarray,
+                   amax: float) -> float:
+    """Worst-case |conv accumulator + bias| over output channels.
+
+    ``w_int`` is the HWIO integer kernel, ``amax`` the largest possible
+    input-integer magnitude (from the producing requant's clip bounds).
+    |acc_c| <= sum_k |w_kc| * amax, and every partial sum obeys the same
+    bound, so bound <= 2**24 certifies f32-exact accumulation."""
+    w = np.abs(np.asarray(w_int, np.float64))
+    per_out = w.sum(axis=(0, 1, 2)) * float(amax)
+    return float((per_out + np.abs(np.asarray(bias_int, np.float64)
+                                   ).reshape(-1)).max())
+
+
+def act_amax(bits: int, signed: bool) -> float:
+    lo, hi = qops.requant_clip_bounds(bits, signed)
+    return max(abs(lo), abs(hi))
+
+
+def bf16_exact_ok(w_int: np.ndarray, bias_int: np.ndarray,
+                  amax: float) -> bool:
+    # amax <= 256: the input integers themselves must be exact in bf16
+    # (8 significand bits) — rules out 16-bit-container residual inputs.
+    return (amax <= 256
+            and conv_acc_bound(w_int, bias_int, amax) <= ACC_EXACT_F32_BOUND)
+
+
+def _conv_bf16(x8: jnp.ndarray, w8: np.ndarray, strides, padding,
+               groups: int = 1) -> jnp.ndarray:
+    """The certified-exact bf16 conv: returns integer-valued float32 acc."""
+    wb = jnp.asarray(np.asarray(w8, np.float32), jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(x8.shape, wb.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x8.astype(jnp.bfloat16), wb, strides, padding,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
 def _s2d_input(x8: jnp.ndarray) -> jnp.ndarray:
     """Zero-pad by 3 and fold 2×2 pixel blocks into channels:
     (B, H, W, C) → (B, (H+6)/2, (W+6)/2, 4C)."""

@@ -24,7 +24,8 @@ import numpy as np
 from hawq_tpu.configs.bit_config import BitConfig
 from hawq_tpu.inference.freeze import (FrozenModel, _freeze_convbn,
                                        _act_scale_from_stats)
-from hawq_tpu.inference.engine import _Plan, _conv_i8, _requant, _maxpool_int
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_bf16, _requant,
+                                       _maxpool_int, bf16_exact_ok)
 from hawq_tpu.models.inceptionv3 import (
     INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
     _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch, _cdiv, _ksize, _pad)
@@ -150,7 +151,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                              capture: Optional[str] = None,
                              routing: Optional[Dict[str, str]] = None,
                              input_mode: str = 'float32',
-                             input_hw: Sequence = (299, 299)):
+                             input_hw: Sequence = (299, 299),
+                             conv_mode: str = 'int8'):
     """``capture`` truncates at a named node and returns its integer tensor
     (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
     'fc_input'.
@@ -163,11 +165,17 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     ``input_mode='folded_float32'``: images arrive host-folded
     (fold.fold4_images_3x3s2(x, 0) — (B, fh, fw, 48)); the 3×3/s2 C=3
     q_conv1 runs as its bit-exact 2×2/s1 rewrite (docs/perf_tpu.md).
-    ``input_hw`` is the original image size (sets the post-fold slice)."""
+    ``input_hw`` is the original image size (sets the post-fold slice).
+
+    ``conv_mode='bf16'``: convs with an int8-container input whose
+    worst-case accumulator is certified < 2²⁴ from the frozen integer
+    weights run as bf16×bf16→f32 on the MXU — bit-identical integers
+    (engine.py bf16-exact notes); uncertified layers fall back to int8."""
     from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
+    use_bf16 = conv_mode == 'bf16'
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -205,6 +213,15 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
                      .astype(np.float32) * np.float32(a_scale))
         s, b, sg = act_info(f'{key_prefix}.q_activ')
+        if use_bf16 and h.dtype == jnp.int8:
+            # int8-container input ⇒ amax 128 is a valid (loose) certificate
+            w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
+            if bf16_exact_ok(w8, b32, 128.0):
+                acc = _conv_bf16(h, w8, (stride, stride),
+                                 _pad(padding)) + b32
+                acc = jnp.maximum(acc, 0)
+                return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
+                                  f'{key_prefix}.rq')
         r = (route(f'{key_prefix}.q_convbn')
              if stride == 1 and padding == 0 and b <= 8 else None)
         if r is not None:

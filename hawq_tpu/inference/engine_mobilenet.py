@@ -22,8 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hawq_tpu.inference.freeze import FrozenModel
-from hawq_tpu.inference.engine import (_Plan, _conv_i8, _requant,
-                                       _np_dyadic_multiplier)
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_bf16, _requant,
+                                       _np_dyadic_multiplier, act_amax,
+                                       bf16_exact_ok)
 from hawq_tpu.quant import ops as qops
 
 
@@ -61,7 +62,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              capture: Optional[str] = None,
                              routing: Optional[dict] = None,
                              input_mode: str = 'float32',
-                             input_hw: Sequence = (224, 224)):
+                             input_hw: Sequence = (224, 224),
+                             conv_mode: str = 'int8'):
     """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
 
     ``capture`` truncates the graph at a named node and returns its raw
@@ -79,11 +81,20 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     (inference/fold.py fold4_images_3x3s2(x, 1) — (B, fh, fw, 48)) and the
     3×3/s2 C=3 init conv runs as its bit-exact 2×2/s1 rewrite, avoiding
     the ~42× C-minor read penalty (docs/perf_tpu.md).  ``input_hw`` is the
-    original image size (sets the post-fold slice)."""
+    original image size (sets the post-fold slice).
+
+    ``conv_mode='bf16'``: every conv whose worst-case accumulator is
+    certified < 2²⁴ from the frozen integer weights runs as bf16×bf16→f32
+    on the MXU — bit-identical integers (engine.py bf16-exact notes) at the
+    (16, 128) bf16 tiling instead of int8's (32, 128), which is what the
+    small-channel high-resolution MobileNetV2 stages need.  Layers that
+    fail the bound (none at W8A8/W4A4 except pathological weights) fall
+    back to the int8 route silently — correctness never depends on it."""
     from hawq_tpu.inference.routing import make_router
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
+    use_bf16 = conv_mode == 'bf16'
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -98,15 +109,31 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         a = np.asarray(a)
         return np.tile(a, 4) if a.size > 1 else a
 
-    def conv1x1_acc(x8, key):
-        """1×1 conv + int32 bias: pallas-routed or XLA."""
-        r = route(key)
-        if r is not None:
-            return r.acc(x8)
+    def conv_acc(x8, key, amax, strides=(1, 1), padding='VALID', groups=1):
+        """conv + int32 bias: bf16-exact, pallas-routed, or XLA int8.
+
+        ``amax`` is the largest input-integer magnitude (the producing
+        requant's clip bound) — it certifies the bf16 route per layer."""
         w8, b32 = plan.conv(key)
-        return _conv_i8(x8, w8, (1, 1), 'VALID') + b32
+        if use_bf16 and bf16_exact_ok(w8, b32, amax):
+            return _conv_bf16(x8, w8, strides, padding, groups) + b32
+        if strides == (1, 1) and groups == 1 and w8.shape[0] == 1:
+            r = route(key)
+            if r is not None:
+                return r.acc(x8)
+        return _conv_i8(x8, w8, strides, padding, groups=groups) + b32
 
     s_in = fm.act_scale('quant_input')
+
+    # Init-conv route decided at build time.  When it's bf16-certified the
+    # quantized input stays an integer-valued f32 tensor: materializing the
+    # (B, H, W, 3) int8 tensor costs a 42× lane-padded round-trip (C=3 →
+    # 128 lanes at int8's (32, 128) tiling) that the bf16 conv never needs.
+    w8_init, b32_init = plan.conv('init_block')
+    if folded:
+        init_bf16 = use_bf16 and bf16_exact_ok(w_fold, _t4(b32_init), 128.0)
+    else:
+        init_bf16 = use_bf16 and bf16_exact_ok(w8_init, b32_init, 128.0)
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
@@ -120,12 +147,13 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         x8 = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
-                      -128, 127
-                      ).astype(jnp.int8)
-        emit('input', x8)
+                      -128, 127)
+        if not init_bf16:
+            x8 = x8.astype(jnp.int8)
+        emit('input', x8.astype(jnp.int8))
 
         # init block: conv 3×3/s2 → relu6 → requant (16-bit node)
-        w8, b32 = plan.conv('init_block')
+        w8, b32 = w8_init, b32_init
         acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
                      * np.float32(s_in))
         s16, b16, sg16 = act_info('quant_act_int32')
@@ -137,13 +165,19 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             assert x8.shape[1:3] == (fh, fw), (
                 f'folded input {x8.shape[1:3]} does not match input_hw='
                 f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
-            acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
+            if init_bf16:
+                acc = _conv_bf16(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
+            else:
+                acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
             acc = _relu6_clip(acc, _t4(acc_scale))
             mult = plan.requant_mult('init_rq_f', _t4(acc_scale), s16)
             xq = _requant(acc, mult, b16, sg16, residual_dtype)
             x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
         else:
-            acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+            if init_bf16:
+                acc = _conv_bf16(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+            else:
+                acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
             acc = _relu6_clip(acc, acc_scale)
             mult = plan.requant_mult('init_rq', acc_scale, s16)
             x = _requant(acc, mult, b16, sg16, residual_dtype)
@@ -162,7 +196,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 xa = _requant(x, mult, ba, sga)
 
                 # expansion 1×1 → relu6 → requant
-                acc = conv1x1_acc(xa, f'{p}.conv1')
+                acc = conv_acc(xa, f'{p}.conv1', act_amax(ba, sga))
                 acc_scale = (fm[f'{p}.conv1.weight_scale'].astype(np.float32)
                              * np.float32(sa))
                 acc = _relu6_clip(acc, acc_scale)
@@ -175,8 +209,9 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 w8, b32 = plan.conv(f'{p}.conv2')
                 mid = w8.shape[-1]
                 # HWIO depthwise kernel: (3, 3, 1, mid), groups = mid
-                acc = _conv_i8(h, w8, (stride, stride), ((1, 1), (1, 1)),
-                               groups=mid) + b32
+                acc = conv_acc(h, f'{p}.conv2', act_amax(ba1, sg1),
+                               strides=(stride, stride),
+                               padding=((1, 1), (1, 1)), groups=mid)
                 acc_scale = (fm[f'{p}.conv2.weight_scale'].astype(np.float32)
                              * np.float32(sa1))
                 acc = _relu6_clip(acc, acc_scale)
@@ -186,7 +221,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 emit(f'{p}.conv2', h)
 
                 # linear projection 1×1 (no activation)
-                acc = conv1x1_acc(h, f'{p}.conv3')
+                acc = conv_acc(h, f'{p}.conv3', act_amax(ba2, sg2))
                 acc_scale = (fm[f'{p}.conv3.weight_scale'].astype(np.float32)
                              * np.float32(sa2))
 
@@ -209,7 +244,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         sa, ba, sga = act_info('quant_act_before_final_block')
         mult = plan.requant_mult('final_in', prev_scale, sa)
         xa = _requant(x, mult, ba, sga)
-        acc = conv1x1_acc(xa, 'features.final_block')
+        acc = conv_acc(xa, 'features.final_block', act_amax(ba, sga))
         acc_scale = (fm['features.final_block.weight_scale']
                      .astype(np.float32) * np.float32(sa))
         acc = _relu6_clip(acc, acc_scale)

@@ -78,6 +78,25 @@ def test_inception_site_enumeration_matches_frozen_shapes():
         assert cin > 0 and cout > 0
 
 
+def test_mobilenet_bf16_conv_mode_parity():
+    """conv_mode='bf16' (certified-exact bf16 MXU convs, engine.py notes)
+    produces bit-identical logits to the int8 engine — and the tiny model's
+    convs all pass the 2²⁴ accumulator certificate, so the bf16 path is
+    actually exercised."""
+    from hawq_tpu.inference.engine import bf16_exact_ok, act_amax
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+    fm, stages, x = _calibrated_mobilenet()
+    for k in fm.tensors:
+        if k.endswith('.weight_int') and 'output' not in k:
+            key = k[:-len('.weight_int')]
+            assert bf16_exact_ok(fm[k], fm[key + '.bias_int'],
+                                 act_amax(8, True)), key
+    ref = np.asarray(build_mobilenetv2_engine(fm, stages)(x))
+    bf = np.asarray(
+        build_mobilenetv2_engine(fm, stages, conv_mode='bf16')(x))
+    np.testing.assert_array_equal(ref, bf)
+
+
 @pytest.mark.slow
 def test_mobilenet_routed_parity_int8():
     fm, stages, x = _calibrated_mobilenet()
@@ -111,6 +130,39 @@ def test_mobilenet_routed_parity_int4w():
         routed = np.asarray(
             build_mobilenetv2_engine(fm, stages, routing=routing)(x))
     np.testing.assert_array_equal(ref, routed)
+
+
+def _calibrated_tiny_inception(wd=16):
+    from hawq_tpu.models.inceptionv3 import QInceptionV3
+    from hawq_tpu.inference.engine_inception import freeze_inceptionv3
+    cfg = BitConfig(name='incept_tiny_rt', table={},
+                    settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=wd)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(1, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    @jax.jit
+    def calib(v, x):
+        _, mut = model.apply(v, x, folded=True, update_stats=True,
+                             mutable=['quant_stats', 'batch_stats'])
+        return {**v, **mut}
+
+    for _ in range(2):
+        v = calib(v, x)
+    fm = freeze_inceptionv3(jax.tree.map(np.asarray, v), cfg, num_classes=8,
+                            width_div=wd)
+    return fm, x
+
+
+def test_inception_bf16_conv_mode_parity():
+    """conv_mode='bf16' on the inception engine: bit-identical logits."""
+    from hawq_tpu.inference.engine_inception import build_inceptionv3_engine
+    fm, x = _calibrated_tiny_inception()
+    ref = np.asarray(build_inceptionv3_engine(fm, width_div=16)(x))
+    bf = np.asarray(build_inceptionv3_engine(fm, width_div=16,
+                                             conv_mode='bf16')(x))
+    np.testing.assert_array_equal(ref, bf)
 
 
 @pytest.mark.slow
