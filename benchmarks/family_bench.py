@@ -100,6 +100,12 @@ def main():
                         .astype(np.float32))
         eng = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES)
         record(f'mobilenetv2_{scheme}', eng, x, fm)
+        # certified bf16-exact conv route + int16 residual containers
+        # (bit-identical logits — tests/test_routing.py)
+        eng_bf = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES,
+                                          conv_mode='f32',
+                                          residual_dtype=jnp.int16)
+        record(f'mobilenetv2_{scheme}_f32', eng_bf, x, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_mobilenetv2_{scheme}_b{args.batch}'
                              '.json')
@@ -126,6 +132,10 @@ def main():
         eng_f = build_inceptionv3_engine(fm, input_mode='folded_float32',
                                          input_hw=(299, 299))
         record(f'inceptionv3_{scheme}_folded', eng_f, xif, fm)
+        eng_fb = build_inceptionv3_engine(fm, input_mode='folded_float32',
+                                          input_hw=(299, 299),
+                                          conv_mode='f32')
+        record(f'inceptionv3_{scheme}_folded_f32', eng_fb, xif, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_inceptionv3_{scheme}_b{args.batch}'
                              '.json')

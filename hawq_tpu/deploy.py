@@ -102,6 +102,12 @@ def main(argv=None) -> int:
                         'automatically (resnet: fold4, inception: '
                         'fold4_3x3s2 — the measured-fastest production '
                         'paths, docs/perf_tpu.md)')
+    p.add_argument('--conv-mode', default='int8',
+                   choices=['int8', 'f32'],
+                   help="f32: certified-exact f32 conv route — convs whose "
+                        "accumulator is provably < 2^24 thread integer-valued "
+                        "f32 (bit-identical, faster at small channel counts; "
+                        "mobilenetv2/inceptionv3 engines)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -118,6 +124,12 @@ def main(argv=None) -> int:
         print(f'exported ONNX → {args.export_onnx}')
 
     kw = {}
+    if args.conv_mode != 'int8':
+        if fm.arch != 'mobilenetv2' and fm.arch.endswith('v2'):
+            sys.stderr.write(f'--conv-mode {args.conv_mode} is not '
+                             f'supported for the pre-activation v2 engine\n')
+            return 2
+        kw['conv_mode'] = args.conv_mode
     if args.routing:
         with open(args.routing) as f:
             kw['routing'] = {k: v for k, v in json.load(f).items()

@@ -93,21 +93,29 @@ def _requant(acc: jnp.ndarray, mult: jnp.ndarray, bits: int, signed: bool,
 
 
 # ---------------------------------------------------------------------------
-# bf16-exact convolution route
+# certified-exact f32 convolution route
 #
 # int8 integers are exactly representable in bfloat16 (8 significand bits,
-# |v| <= 255), the MXU multiplies bf16 pairs into an exact float32 product
+# |v| <= 256); the MXU multiplies bf16 pairs into an exact float32 product
 # (<= 14 significand bits) and accumulates in float32, where every integer
-# partial sum below 2**24 is exact.  So whenever the worst-case accumulator
-# magnitude of an integer conv — computed host-side from the frozen integer
-# weights — stays under 2**24, running it as bf16×bf16→f32 is bit-identical
-# to the int8×int8→int32 conv while tiling at the (16, 128) bf16 layout
-# instead of int8's (32, 128): decisive at small channel counts / high
-# resolution (MobileNetV2's 112²/56² stages), and at full bf16 MXU rate
-# (2× the f32 rate the fp32 baseline model gets).  The reference's analog
-# lever is picking a different CUDA schedule per layer shape via AutoTVM
-# (test_resnet_inference_time.py:189-217); here the layout choice is made
-# by dtype and XLA does the scheduling.
+# partial sum below 2**24 is exact.  XLA lowers float32 convolutions to
+# those bf16 MXU passes, so whenever the worst-case accumulator magnitude
+# of an integer conv — computed host-side from the frozen integer weights —
+# stays under 2**24, running it as a plain f32 conv over integer-valued f32
+# tensors is bit-identical to the int8×int8→int32 conv.
+#
+# Why f32 *dtype* and not explicit bf16: measured on v5e, the win is not
+# the MXU rate (these layers are small) but eliminating dtype churn — each
+# int8/bf16/f32 conversion between ops is a physical retiling copy ((32,
+# 128) / (16, 128) / (8, 128) tilings), and a MobileNetV2 unit built from
+# int8 or bf16 convs costs 4× its all-f32 equivalent (0.81 ms vs 0.20 ms
+# for init+stage1 at batch 8) purely in layout transitions.  An engine in
+# this mode threads integer-valued f32 end to end: requants stay f32
+# (floor/clip), residual carriers stay f32, and only uncertified layers
+# locally cast to int8 for the int32 MXU path.  The reference's analog
+# lever is picking a CUDA schedule per layer via AutoTVM
+# (test_resnet_inference_time.py:189-217); here the choice is made by
+# dtype and XLA does the scheduling.
 # ---------------------------------------------------------------------------
 
 ACC_EXACT_F32_BOUND = 2.0 ** 24
@@ -132,22 +140,22 @@ def act_amax(bits: int, signed: bool) -> float:
     return max(abs(lo), abs(hi))
 
 
-def bf16_exact_ok(w_int: np.ndarray, bias_int: np.ndarray,
-                  amax: float) -> bool:
-    # amax <= 256: the input integers themselves must be exact in bf16
-    # (8 significand bits) — rules out 16-bit-container residual inputs.
+def f32_exact_ok(w_int: np.ndarray, bias_int: np.ndarray,
+                 amax: float) -> bool:
+    # amax <= 256: the input integers must survive the bf16 MXU pass
+    # exactly (8 significand bits) — rules out 16-bit residual inputs.
     return (amax <= 256
             and conv_acc_bound(w_int, bias_int, amax) <= ACC_EXACT_F32_BOUND)
 
 
-def _conv_bf16(x8: jnp.ndarray, w8: np.ndarray, strides, padding,
-               groups: int = 1) -> jnp.ndarray:
-    """The certified-exact bf16 conv: returns integer-valued float32 acc."""
-    wb = jnp.asarray(np.asarray(w8, np.float32), jnp.bfloat16)
-    dn = jax.lax.conv_dimension_numbers(x8.shape, wb.shape,
+def _conv_f32(x: jnp.ndarray, w8: np.ndarray, strides, padding,
+              groups: int = 1) -> jnp.ndarray:
+    """The certified-exact f32 conv: returns integer-valued float32 acc."""
+    wf = np.asarray(w8, np.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape,
                                         ('NHWC', 'HWIO', 'NHWC'))
     return jax.lax.conv_general_dilated(
-        x8.astype(jnp.bfloat16), wb, strides, padding,
+        x.astype(jnp.float32), wf, strides, padding,
         dimension_numbers=dn, feature_group_count=groups,
         preferred_element_type=jnp.float32)
 
@@ -174,7 +182,10 @@ def _s2d_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
-    init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.asarray(-jnp.inf, x.dtype)      # f32-threaded engines
+    else:
+        init = jnp.asarray(jnp.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x, init, jax.lax.max, (1, *window, 1), (1, *strides, 1),
         ((0, 0), *padding, (0, 0)))
@@ -191,7 +202,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         s2d_init: bool = False,
                         input_mode: str = 'float32',
                         input_mean: np.ndarray = IMAGENET_MEAN,
-                        input_std: np.ndarray = IMAGENET_STD):
+                        input_std: np.ndarray = IMAGENET_STD,
+                        conv_mode: str = 'int8'):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
@@ -215,7 +227,20 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     runs in VMEM and 4-bit weight layers stream nibble-packed weights from
     HBM (half the weight traffic).  Numerics are identical either way — the
     kernels implement the same canonical dyadic arithmetic.
+
+    ``conv_mode='f32'``: the certified-exact f32 route (module notes above):
+    convs whose worst-case accumulator is provably < 2²⁴ (from the frozen
+    integer weights) run as plain f32 convs over integer-valued f32 tensors
+    and the engine threads f32 end to end; uncertified layers cast to int8
+    locally (pallas routing still applies to them).  Bit-identical logits.
+    W4A4 weights (±7) certify every layer; at W8A8 the wide stage3/4 convs
+    typically fall back — exactly the layers where the int8 MXU (2× bf16
+    peak) wins anyway.
     """
+    assert conv_mode in ('int8', 'f32'), conv_mode
+    use_f32 = conv_mode == 'f32'
+    act_dt = jnp.float32 if use_f32 else jnp.int8
+    res_dt = jnp.float32 if use_f32 else residual_dtype
     arch, cfg = fm.arch, fm.cfg
     plan = _Plan(fm)
     if routing is not None:
@@ -354,6 +379,19 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         if capture is not None and name == capture:
             captured['value'] = value
 
+    def emit_int(name, value):
+        """emit for integer-valued nodes — f32-threaded tensors capture as
+        their exact int32 integers (the golden-featuremap contract)."""
+        if capture is not None and name == capture:
+            if jnp.issubdtype(value.dtype, jnp.floating):
+                value = value.astype(jnp.int32)
+            captured['value'] = value
+
+    def as_i8(t):
+        """Local int8 view of an integer-valued f32 activation (exact —
+        requant clip bounds keep values in int8 range)."""
+        return t if t.dtype == jnp.int8 else t.astype(jnp.int8)
+
     # uint8 serving path: raw pixels transfer host→device (4× fewer bytes)
     # and the device replays the host preprocessing with the **identical
     # float32 op order** (u8/255 → (v−mean)/std → round(v/s_in)): IEEE f32
@@ -373,6 +411,13 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             'folded input modes require the 7×7/s2 init conv'
         w_fold = _fold.fold4_kernel(w_init)
 
+    # One certificate covers every init variant: the fold/s2d rewrites only
+    # permute (and zero-pad) kernel taps, so per-output-channel |w| sums
+    # never grow.  When certified, the quantized input skips the int8
+    # materialization (42× lane-padded at C=3).
+    _w_init_c, _b_init_c = plan.conv(init_key)
+    init_f32 = use_f32 and f32_exact_ok(_w_init_c, _b_init_c, 128.0)
+
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
         if input_mode == 'uint8':
@@ -385,15 +430,19 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 u8_std)
             x8 = jnp.clip(jnp.floor(qops.exact_div(v, s_in)
                                     + jnp.float32(0.5)),
-                          -128, 127).astype(jnp.int8)
+                          -128, 127)
+            if not init_f32:
+                x8 = x8.astype(jnp.int8)
         elif input_mode == 'folded_int8':
             x8 = images          # host quantized + folded (csrc mirror)
         else:   # 'float32' / 'folded_float32': device-side quantization.
             # For folded input the pad zeros quantize to integer 0, exactly
             # like the device-side zero padding of the direct conv.
             x8 = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
-                          -128, 127).astype(jnp.int8)
-        emit('input', x8)
+                          -128, 127)
+            if not init_f32:
+                x8 = x8.astype(jnp.int8)
+        emit('input', as_i8(x8))
 
         # ---- init block ----
         # requant + ReLU run *before* the maxpool (all three are monotone, so
@@ -403,40 +452,41 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         s_init = (fm[init_key + '.weight_scale'].astype(np.float32)
                   * np.float32(s_in))
         s16, b16, signed16 = act_info('quant_act_int32')
+        init_conv = _conv_f32 if init_f32 else _conv_i8
         if folded:
             # 4×4 block-folded init conv (inference/fold.py): bit-exact
             # 3×3/s1 rewrite of the 7×7/s2; requant+relu in folded layout
             # (per-channel vectors tiled over the 4 stride-2 origins), then
             # depth-to-space on the narrow residual dtype.
             nb, mb = x8.shape[1], x8.shape[2]
-            acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + np.tile(b32, 4)
+            acc = init_conv(x8, w_fold, (1, 1), 'VALID') + np.tile(b32, 4)
             acc = acc[:, :nb - 2, :mb - 2]
             mult = plan.requant_mult('init_requant', np.tile(s_init, 4), s16)
-            x16 = _requant(acc, mult, b16, signed16, residual_dtype)
+            x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
             x16 = _fold.depth_to_space_2x2(x16)
         else:
             if cifar:
                 # CIFAR init: 3×3/s1/pad1, no maxpool
                 # (quantized_resnet_v1.py:334-348)
-                acc = _conv_i8(x8, w8, (1, 1), ((1, 1), (1, 1))) + b32
+                acc = init_conv(x8, w8, (1, 1), ((1, 1), (1, 1))) + b32
             elif s2d_init and w8.shape[:2] == (7, 7) and x8.shape[1] % 2 == 0:
                 # space-to-depth: the 7×7/s2 conv on 3 channels wastes the
                 # 128-wide MXU; fold 2×2 pixel blocks into channels and run
                 # the exact same MACs as a 4×4/s1 conv on 12 channels.
                 # Bit-exact: identical products and int32 sums, reordered.
-                acc = _conv_i8(_s2d_input(x8),
-                               _s2d_kernel(fm[init_key + '.weight_int']),
-                               (1, 1), 'VALID') + b32
+                acc = init_conv(_s2d_input(x8),
+                                _s2d_kernel(fm[init_key + '.weight_int']),
+                                (1, 1), 'VALID') + b32
             else:
-                acc = _conv_i8(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
+                acc = init_conv(x8, w8, (2, 2), ((3, 3), (3, 3))) + b32
             mult = plan.requant_mult('init_requant', s_init, s16)
-            x16 = _requant(acc, mult, b16, signed16, residual_dtype)
+            x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
         if not cifar:
             x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
         prev_scale = np.float32(s16)
-        emit('init', x16)
+        emit_int('init', x16)
 
         x = x16
         for si, n_units in enumerate(RESNET_UNITS[arch], start=1):
@@ -448,8 +498,9 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 # unit input requant: prev 16-bit int32 → unit act bits
                 sa, ba, signed_a = act_info(f'{p}.quant_act')
                 mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
-                xa = _requant(x, mult, ba, signed_a)
-                emit(f'{p}.input', xa)
+                xa = _requant(x, mult, ba, signed_a, act_dt)
+                emit_int(f'{p}.input', xa)
+                amax_a = act_amax(ba, signed_a)
 
                 def routable(key):
                     if not use_pallas:
@@ -457,15 +508,24 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                     kh, kw, cin, cout = fm[key + '.weight_int'].shape
                     return pallas_routable(key, kh, kw, cin, cout)
 
+                def certified(key, amax):
+                    if not use_f32:
+                        return False
+                    w8c, b32c = plan.conv(key)
+                    return f32_exact_ok(w8c, b32c, amax)
+
                 id_key = f'{p}.quant_identity_convbn'
                 if has_id_conv:
                     id_scale = (fm[id_key + '.weight_scale']
                                 .astype(np.float32) * np.float32(sa))
-                    if routable(id_key):
-                        id_acc = pallas_conv_acc(xa, id_key, stride)
+                    wid, bid = plan.conv(id_key)
+                    if certified(id_key, amax_a):
+                        id_acc = _conv_f32(xa, wid, (stride, stride),
+                                           'VALID') + bid
+                    elif routable(id_key):
+                        id_acc = pallas_conv_acc(as_i8(xa), id_key, stride)
                     else:
-                        wid, bid = plan.conv(id_key)
-                        id_acc = _conv_i8(xa, wid, (stride, stride),
+                        id_acc = _conv_i8(as_i8(xa), wid, (stride, stride),
                                           'VALID') + bid
                 else:
                     id_acc = x          # int32 at prev_scale
@@ -482,16 +542,23 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                              .astype(np.float32) * np.float32(sa))
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
-                if routable(key1):
-                    h = pallas_conv_requant(xa, key1, s1[0], mult, ba1,
-                                            sg1, relu=True)
+                pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
+                if certified(key1, amax_a):
+                    w8, b32 = plan.conv(key1)
+                    acc = _conv_f32(xa, w8, s1, pad1) + b32
+                    acc = jnp.maximum(acc, 0)
+                    h = _requant(acc, mult, ba1, sg1, act_dt)
+                elif routable(key1):
+                    h = pallas_conv_requant(as_i8(xa), key1, s1[0], mult,
+                                            ba1, sg1, relu=True)
+                    if use_f32:
+                        h = h.astype(jnp.float32)
                 else:
                     w8, b32 = plan.conv(key1)
-                    pad1 = 'VALID' if bottleneck else ((1, 1), (1, 1))
-                    acc = _conv_i8(xa, w8, s1, pad1) + b32
+                    acc = _conv_i8(as_i8(xa), w8, s1, pad1) + b32
                     acc = jnp.maximum(acc, 0)
-                    h = _requant(acc, mult, ba1, sg1)
-                emit(f'{p}.conv1', h)
+                    h = _requant(acc, mult, ba1, sg1, act_dt)
+                emit_int(f'{p}.conv1', h)
 
                 # conv2
                 key2 = f'{p}.quant_convbn2'
@@ -501,58 +568,76 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 if bottleneck:
                     sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
                     mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
-                    if routable(key2):
-                        h = pallas_conv_requant(h, key2, s2[0], mult, ba2,
-                                                sg2, relu=True)
+                    if certified(key2, act_amax(ba1, sg1)):
+                        w8, b32 = plan.conv(key2)
+                        acc = _conv_f32(h, w8, s2, ((1, 1), (1, 1))) + b32
+                        acc = jnp.maximum(acc, 0)
+                        h = _requant(acc, mult, ba2, sg2, act_dt)
+                    elif routable(key2):
+                        h = pallas_conv_requant(as_i8(h), key2, s2[0], mult,
+                                                ba2, sg2, relu=True)
+                        if use_f32:
+                            h = h.astype(jnp.float32)
                     else:
                         w8, b32 = plan.conv(key2)
-                        acc = _conv_i8(h, w8, s2, ((1, 1), (1, 1))) + b32
+                        acc = _conv_i8(as_i8(h), w8, s2,
+                                       ((1, 1), (1, 1))) + b32
                         acc = jnp.maximum(acc, 0)
-                        h = _requant(acc, mult, ba2, sg2)
-                    emit(f'{p}.conv2', h)
+                        h = _requant(acc, mult, ba2, sg2, act_dt)
+                    emit_int(f'{p}.conv2', h)
 
                     key3 = f'{p}.quant_convbn3'
                     acc_scale = (fm[key3 + '.weight_scale']
                                  .astype(np.float32) * np.float32(sa2))
-                    if routable(key3):
-                        acc = pallas_conv1x1_acc(h, key3, 1)
+                    if certified(key3, act_amax(ba2, sg2)):
+                        w8, b32 = plan.conv(key3)
+                        acc = _conv_f32(h, w8, (1, 1), 'VALID') + b32
+                    elif routable(key3):
+                        acc = pallas_conv1x1_acc(as_i8(h), key3, 1)
                     else:
                         w8, b32 = plan.conv(key3)
-                        acc = _conv_i8(h, w8, (1, 1), 'VALID') + b32
+                        acc = _conv_i8(as_i8(h), w8, (1, 1), 'VALID') + b32
                 else:
                     # basic block: conv2 is the unit's last conv — its raw
                     # accumulator feeds the residual requant-add
-                    if routable(key2):
-                        acc = pallas_conv_acc(h, key2, s2[0])
+                    if certified(key2, act_amax(ba1, sg1)):
+                        w8, b32 = plan.conv(key2)
+                        acc = _conv_f32(h, w8, s2, ((1, 1), (1, 1))) + b32
+                    elif routable(key2):
+                        acc = pallas_conv_acc(as_i8(h), key2, s2[0])
                     else:
                         w8, b32 = plan.conv(key2)
-                        acc = _conv_i8(h, w8, s2, ((1, 1), (1, 1))) + b32
+                        acc = _conv_i8(as_i8(h), w8, s2,
+                                       ((1, 1), (1, 1))) + b32
 
                 # residual requant-add at 16-bit precision
                 s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')
                 mult_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
                 mult_id = plan.requant_mult(f'{p}.res_id', id_scale, s_out)
-                x = qops.requant_add_int32(acc, mult_main, id_acc, mult_id)
+                x = qops.requant_add_int32(acc, mult_main, id_acc, mult_id,
+                                           out_dtype=res_dt)
                 x = jnp.maximum(x, 0)
                 if residual_dtype != jnp.int32:
                     # halved inter-unit traffic; clamps the (rare) residual
                     # sums above 2^15-1 — the 16-bit behavior the bit configs
                     # nominally declare for these nodes
                     x = jnp.clip(x, 0, jnp.iinfo(residual_dtype).max
-                                 ).astype(residual_dtype)
+                                 ).astype(res_dt)
                 prev_scale = np.float32(s_out)
-                emit(f'{p}.quant_act_int32', x)
+                emit_int(f'{p}.quant_act_int32', x)
 
         # ---- head ----
         # integer global average pool with truncation (quant_modules.py:557-602)
         hw = x.shape[1] * x.shape[2]
-        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
+        pooled = jnp.sum(x, axis=(1, 2),
+                         dtype=jnp.float32 if use_f32 else jnp.int32)
         pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
         emit('avg_pool', pooled)
 
         s_fc, b_fc, sg_fc = act_info('quant_act_output')
         mult = plan.requant_mult('fc_in', prev_scale, s_fc)
-        f8 = _requant(pooled.astype(jnp.int32), mult, b_fc, sg_fc)
+        f8 = _requant(pooled if use_f32 else pooled.astype(jnp.int32),
+                      mult, b_fc, sg_fc)
         emit('fc_input', f8)
 
         w8 = np.asarray(fm['quant_output.weight_int'])

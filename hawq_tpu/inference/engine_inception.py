@@ -11,6 +11,13 @@ its own scale; the engine requantizes every branch output to the unit's
 shared scale with its own dyadic multiplier *before* concatenation —
 numerically identical to the training graph's per-channel-slice requant of
 the concatenated tensor (QuantAct branch case, nn/layers.py).
+
+``conv_mode='f32'`` — the certified-exact f32 route (engine.py notes):
+convs whose worst-case accumulator is provably < 2²⁴ run as plain f32
+convolutions over integer-valued f32 tensors (XLA lowers them to exact
+bf16 MXU passes) and the engine threads f32 end to end; uncertified
+layers cast to the integer MXU path locally.  Bit-identical logits
+(tests/test_routing.py).
 """
 
 from __future__ import annotations
@@ -24,8 +31,8 @@ import numpy as np
 from hawq_tpu.configs.bit_config import BitConfig
 from hawq_tpu.inference.freeze import (FrozenModel, _freeze_convbn,
                                        _act_scale_from_stats)
-from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_bf16, _requant,
-                                       _maxpool_int, bf16_exact_ok)
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
+                                       _maxpool_int, act_amax, f32_exact_ok)
 from hawq_tpu.models.inceptionv3 import (
     INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
     _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch, _cdiv, _ksize, _pad)
@@ -167,15 +174,15 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     q_conv1 runs as its bit-exact 2×2/s1 rewrite (docs/perf_tpu.md).
     ``input_hw`` is the original image size (sets the post-fold slice).
 
-    ``conv_mode='bf16'``: convs with an int8-container input whose
-    worst-case accumulator is certified < 2²⁴ from the frozen integer
-    weights run as bf16×bf16→f32 on the MXU — bit-identical integers
-    (engine.py bf16-exact notes); uncertified layers fall back to int8."""
+    ``conv_mode='f32'``: the certified-exact f32 route (module docstring);
+    activations/branch tensors thread integer-valued f32, convs failing
+    the 2²⁴ certificate cast to the integer path locally."""
     from hawq_tpu.inference.routing import make_router
+    assert conv_mode in ('int8', 'f32'), conv_mode
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
-    use_bf16 = conv_mode == 'bf16'
+    use_f32 = conv_mode == 'f32'
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -195,48 +202,78 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
 
     def emit(name, value):
         if capture is not None and name == capture:
+            if jnp.issubdtype(value.dtype, jnp.floating):
+                value = value.astype(jnp.int32)    # f32 mode: exact ints
             captured['value'] = value
+
+    # Init-conv route decided at build time; when f32-certified the
+    # quantized input stays integer-valued f32 (no lane-padded int8
+    # materialization of the C=3 image — engine.py certified-f32 notes).
+    _w1_key = 'features.q_init_block.q_conv1.q_convbn'
+    _w1 = np.asarray(fm[_w1_key + '.weight_int'])
+    _b1 = np.asarray(fm[_w1_key + '.bias_int'])
+    if folded:
+        init_f32 = use_f32 and f32_exact_ok(w_fold, _t4(_b1), 128.0)
+    else:
+        init_f32 = use_f32 and f32_exact_ok(_w1, _b1, 128.0)
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
                 cfg.act_mode(key) == 'symmetric')
 
     def container(bits):
+        if use_f32:
+            return jnp.float32
         return jnp.int8 if bits <= 8 else jnp.int32
 
     def requant_to(x_int, from_scale, key, name):
+        """→ (tensor, its scale, its max integer magnitude)."""
         s, b, sg = act_info(key)
         mult = plan.requant_mult(name, from_scale, s)
-        return _requant(x_int, mult, b, sg, container(b)), np.float32(s)
+        return (_requant(x_int, mult, b, sg, container(b)),
+                np.float32(s), act_amax(b, sg))
 
-    def incept_conv(h, a_scale, key_prefix, stride, padding):
+    def to_int(h, amax):
+        """Cast an integer-valued f32 tensor to the integer MXU input
+        container (int8 when the values fit, else int32)."""
+        if h.dtype != jnp.float32:
+            return h
+        return h.astype(jnp.int8 if amax <= 128 else jnp.int32)
+
+    def incept_conv(h, a_scale, amax, key_prefix, stride, padding):
         acc_scale = (fm[f'{key_prefix}.q_convbn.weight_scale']
                      .astype(np.float32) * np.float32(a_scale))
         s, b, sg = act_info(f'{key_prefix}.q_activ')
-        if use_bf16 and h.dtype == jnp.int8:
-            # int8-container input ⇒ amax 128 is a valid (loose) certificate
-            w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
-            if bf16_exact_ok(w8, b32, 128.0):
-                acc = _conv_bf16(h, w8, (stride, stride),
-                                 _pad(padding)) + b32
-                acc = jnp.maximum(acc, 0)
-                return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
-                                  f'{key_prefix}.rq')
+        w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
+        if use_f32 and f32_exact_ok(w8, b32, amax):
+            acc = _conv_f32(h, w8, (stride, stride), _pad(padding)) + b32
+            acc = jnp.maximum(acc, 0)
+            return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
+                              f'{key_prefix}.rq')
+        h = to_int(h, amax)
         r = (route(f'{key_prefix}.q_convbn')
-             if stride == 1 and padding == 0 and b <= 8 else None)
+             if stride == 1 and padding == 0 and b <= 8
+             and h.dtype == jnp.int8 else None)
         if r is not None:
             # fully fused conv → relu → dyadic requant (bit-exact: requant
             # is monotone with requant(0) == 0, see inference/routing.py)
             mult = plan.requant_mult(f'{key_prefix}.rq', acc_scale, s)
-            return r.requant(h, mult, out_bits=b, signed=sg,
-                             relu=True), np.float32(s)
-        w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
+            out = r.requant(h, mult, out_bits=b, signed=sg, relu=True)
+            if use_f32:
+                out = out.astype(jnp.float32)
+            return out, np.float32(s), act_amax(b, sg)
         acc = _conv_i8(h, w8, (stride, stride), _pad(padding)) + b32
         acc = jnp.maximum(acc, 0)           # relu before requant (monotone)
         return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
                           f'{key_prefix}.rq')
 
     def int_avgpool_3x3(x_int):
+        if x_int.dtype == jnp.float32:
+            summed = jax.lax.reduce_window(
+                x_int, jnp.float32(0), jax.lax.add,
+                (1, 3, 3, 1), (1, 1, 1, 1),
+                ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return jnp.trunc(summed / 9.0 + 0.01)
         summed = jax.lax.reduce_window(
             x_int.astype(jnp.int32), jnp.int32(0), jax.lax.add,
             (1, 3, 3, 1), (1, 1, 1, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -248,10 +285,12 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         s_in, b_in, _ = act_info(f'{ip}.q_input_activ')
         n = 2 ** (b_in - 1) - 1
         x = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
-                     -n - 1, n
-                     ).astype(jnp.int8)
-        emit('input', x)
+                     -n - 1, n)
+        if not init_f32:
+            x = x.astype(jnp.int8)
+        emit('input', x.astype(jnp.int8))
         s = np.float32(s_in)
+        am = float(n + 1)
         strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
         pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
         for c in range(1, 6):
@@ -263,19 +302,29 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 assert x.shape[1:3] == (fh, fw), (
                     f'folded input {x.shape[1:3]} does not match input_hw='
                     f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
-                w8, b32 = plan.conv(f'{key}.q_convbn')
-                acc = _conv_i8(x, w_fold, (1, 1), 'VALID') + _t4(b32)
+                if init_f32:
+                    acc = _conv_f32(x, w_fold, (1, 1), 'VALID') + _t4(_b1)
+                else:
+                    acc = _conv_i8(x, w_fold, (1, 1), 'VALID') + _t4(_b1)
                 acc = jnp.maximum(acc, 0)
                 acc_scale = (fm[f'{key}.q_convbn.weight_scale']
                              .astype(np.float32) * np.float32(s))
                 sq, bq, sg = act_info(f'{key}.q_activ')
                 mult = plan.requant_mult(f'{key}.rq_f', _t4(acc_scale), sq)
-                xq = _requant(acc, mult, bq, sg,
-                              jnp.int8 if bq <= 8 else jnp.int32)
+                xq = _requant(acc, mult, bq, sg, container(bq))
                 x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
-                s = np.float32(sq)
+                s, am = np.float32(sq), act_amax(bq, sg)
+            elif c == 1 and init_f32:
+                # f32-threaded input into the certified f32 init conv
+                acc = _conv_f32(x, _w1, (strides[c], strides[c]),
+                                _pad(pads[c])) + _b1
+                acc = jnp.maximum(acc, 0)
+                acc_scale = (fm[f'{key}.q_convbn.weight_scale']
+                             .astype(np.float32) * np.float32(s))
+                x, s, am = requant_to(acc, acc_scale, f'{key}.q_activ',
+                                      f'{key}.rq')
             else:
-                x, s = incept_conv(x, s, key, strides[c], pads[c])
+                x, s, am = incept_conv(x, s, am, key, strides[c], pads[c])
             if c in (3, 5):
                 x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
         emit('init', x)
@@ -285,38 +334,40 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
             outs, scales = [], []
             for name, ctor, kwargs in unit.branch_defs:
                 bp = f'{p}.branches.{name}'
-                h, a = requant_to(x, s, f'{bp}.q_input_act', f'{bp}.in')
+                h, a, ham = requant_to(x, s, f'{bp}.q_input_act',
+                                       f'{bp}.in')
                 if ctor is _Conv1x1Branch:
-                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
+                    h, a, ham = incept_conv(h, a, ham, f'{bp}.q_conv', 1, 0)
                 elif ctor is _ConvSeqBranch:
                     for c, (st_, pd) in enumerate(
                             zip(kwargs['strides'],
                                 kwargs['paddings']), start=1):
-                        h, a = incept_conv(h, a,
-                                           f'{bp}.q_conv_list.q_conv{c}',
-                                           st_, pd)
+                        h, a, ham = incept_conv(
+                            h, a, ham, f'{bp}.q_conv_list.q_conv{c}',
+                            st_, pd)
                 elif ctor is _MaxPoolBranch:
                     h = _maxpool_int(h, (3, 3), (2, 2), ((0, 0), (0, 0)))
                 elif ctor is _AvgPoolBranch:
                     h = int_avgpool_3x3(h)
-                    h, a = requant_to(h, a, f'{bp}.q_pool_act', f'{bp}.pool')
-                    h, a = incept_conv(h, a, f'{bp}.q_conv', 1, 0)
+                    h, a, ham = requant_to(h, a, f'{bp}.q_pool_act',
+                                           f'{bp}.pool')
+                    h, a, ham = incept_conv(h, a, ham, f'{bp}.q_conv', 1, 0)
                 elif ctor is _ConvSeq3x3Branch:
                     for c, (st_, pd) in enumerate(
                             zip(kwargs['strides'],
                                 kwargs['paddings']), start=1):
-                        h, a = incept_conv(h, a,
-                                           f'{bp}.q_conv_list.q_conv{c}',
-                                           st_, pd)
-                    y1, a1 = incept_conv(h, a, f'{bp}.q_conv1x3',
-                                         1, (0, 1))
-                    y2, a2 = incept_conv(h, a, f'{bp}.q_conv3x1',
-                                         1, (1, 0))
-                    r1, ssub = requant_to(y1, a1,
-                                          f'{bp}.q_rescaling_activ',
-                                          f'{bp}.rs1')
-                    r2, _ = requant_to(y2, a2, f'{bp}.q_rescaling_activ',
-                                       f'{bp}.rs2')
+                        h, a, ham = incept_conv(
+                            h, a, ham, f'{bp}.q_conv_list.q_conv{c}',
+                            st_, pd)
+                    y1, a1, am1 = incept_conv(h, a, ham, f'{bp}.q_conv1x3',
+                                              1, (0, 1))
+                    y2, a2, _ = incept_conv(h, a, ham, f'{bp}.q_conv3x1',
+                                            1, (1, 0))
+                    r1, ssub, _ = requant_to(y1, a1,
+                                             f'{bp}.q_rescaling_activ',
+                                             f'{bp}.rs1')
+                    r2, _, _ = requant_to(y2, a2, f'{bp}.q_rescaling_activ',
+                                          f'{bp}.rs2')
                     h = jnp.concatenate([r1.astype(r2.dtype), r2], axis=-1)
                     a = ssub
                 outs.append(h)
@@ -325,19 +376,23 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
             # concat requant: each branch to the unit's shared scale
             pieces, s_unit = [], None
             for bi, (h, a) in enumerate(zip(outs, scales)):
-                r, s_unit = requant_to(h, a, f'{p}.q_rescaling_activ',
-                                       f'{p}.cat{bi}')
-                pieces.append(r.astype(jnp.int32))
+                r, s_unit, _ = requant_to(h, a, f'{p}.q_rescaling_activ',
+                                          f'{p}.cat{bi}')
+                pieces.append(r if use_f32 else r.astype(jnp.int32))
             x = jnp.concatenate(pieces, axis=-1)
             s = s_unit
             emit(f'{p}.q_rescaling_activ', x)
 
         # head: integer global avg pool → requant → dense
         hw = x.shape[1] * x.shape[2]
-        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01
-                           ).astype(jnp.int32)
-        f8, s_fc = requant_to(pooled, s, 'features.q_concat_activ', 'fc_in')
+        pooled = jnp.sum(x, axis=(1, 2),
+                         dtype=jnp.float32 if use_f32 else jnp.int32)
+        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        if not use_f32:
+            pooled = pooled.astype(jnp.int32)
+        f8, s_fc, fam = requant_to(pooled, s, 'features.q_concat_activ',
+                                   'fc_in')
+        f8 = to_int(f8, fam)
         emit('fc_input', f8)
         w8 = np.asarray(fm['output.q_fc.weight_int'])
         b32 = np.asarray(fm['output.q_fc.bias_int'])

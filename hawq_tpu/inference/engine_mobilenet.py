@@ -11,6 +11,17 @@ ReLU6 in the integer domain: relu6 acts on value = acc · acc_scale, so the
 accumulator clamp is [0, round_half_up(6 / acc_scale)] per channel — exact
 against the QAT graph's float relu6-then-requant (see
 hawq_tpu/models/mobilenetv2.py docstring).
+
+``conv_mode='f32'`` — the certified-exact f32 route (engine.py notes):
+every conv whose worst-case accumulator is provably < 2²⁴ runs as a plain
+f32 convolution over integer-valued f32 tensors (XLA lowers it to exact
+bf16 MXU passes), and the whole engine threads f32 end to end — requants
+stay floor/clip in f32, residual carriers stay f32 — eliminating the
+per-op dtype-retiling copies that dominate this model's int8 engine at
+high resolution (measured 4× on the early stages, docs/perf_tpu.md).
+Uncertified layers cast to int8 locally and take the int32 MXU path, so
+correctness never depends on the certificate.  Logits are bit-identical
+across conv modes (tests/test_routing.py).
 """
 
 from __future__ import annotations
@@ -22,9 +33,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hawq_tpu.inference.freeze import FrozenModel
-from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_bf16, _requant,
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
                                        _np_dyadic_multiplier, act_amax,
-                                       bf16_exact_ok)
+                                       f32_exact_ok)
 from hawq_tpu.quant import ops as qops
 
 
@@ -32,7 +43,9 @@ def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
     """Integer-domain ReLU6: clamp acc to [0, round(6/acc_scale)].
 
     float32 with the same op order as the QAT graph's relu6_int
-    (models/mobilenetv2.py) so the bound is computed identically."""
+    (models/mobilenetv2.py) so the bound is computed identically.  Safe on
+    an f32 accumulator too: bounds above 2²⁴ (where f32 rounds the int32
+    bound) can never clamp a certified-exact accumulator (< 2²⁴)."""
     hi = np.floor(np.float32(6.0) / np.asarray(acc_scale, np.float32)
                   + np.float32(0.5))
     hi = np.minimum(hi, np.float32(2 ** 31 - 1)).astype(np.int64
@@ -83,18 +96,19 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     the ~42× C-minor read penalty (docs/perf_tpu.md).  ``input_hw`` is the
     original image size (sets the post-fold slice).
 
-    ``conv_mode='bf16'``: every conv whose worst-case accumulator is
-    certified < 2²⁴ from the frozen integer weights runs as bf16×bf16→f32
-    on the MXU — bit-identical integers (engine.py bf16-exact notes) at the
-    (16, 128) bf16 tiling instead of int8's (32, 128), which is what the
-    small-channel high-resolution MobileNetV2 stages need.  Layers that
-    fail the bound (none at W8A8/W4A4 except pathological weights) fall
-    back to the int8 route silently — correctness never depends on it."""
+    ``conv_mode='f32'``: the certified-exact f32 route (module docstring;
+    bit-identical logits, measured ≥2× on v5e at batch 8)."""
     from hawq_tpu.inference.routing import make_router
+    assert conv_mode in ('int8', 'f32'), conv_mode
     cfg = fm.cfg
     plan = _Plan(fm)
     route = make_router(fm, routing)
-    use_bf16 = conv_mode == 'bf16'
+    use_f32 = conv_mode == 'f32'
+    # activation containers / residual carriers in f32 mode stay f32 —
+    # integer-valued, so every narrowing below is exact
+    act_dt = jnp.float32 if use_f32 else jnp.int8
+    res_dt = jnp.float32 if use_f32 else residual_dtype
+    fin_dt = jnp.float32 if use_f32 else jnp.int32
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -109,14 +123,15 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         a = np.asarray(a)
         return np.tile(a, 4) if a.size > 1 else a
 
-    def conv_acc(x8, key, amax, strides=(1, 1), padding='VALID', groups=1):
-        """conv + int32 bias: bf16-exact, pallas-routed, or XLA int8.
+    def conv_acc(x, key, amax, strides=(1, 1), padding='VALID', groups=1):
+        """conv + int32 bias: certified-f32, pallas-routed, or XLA int8.
 
         ``amax`` is the largest input-integer magnitude (the producing
-        requant's clip bound) — it certifies the bf16 route per layer."""
+        requant's clip bound) — it certifies the f32 route per layer."""
         w8, b32 = plan.conv(key)
-        if use_bf16 and bf16_exact_ok(w8, b32, amax):
-            return _conv_bf16(x8, w8, strides, padding, groups) + b32
+        if use_f32 and f32_exact_ok(w8, b32, amax):
+            return _conv_f32(x, w8, strides, padding, groups) + b32
+        x8 = x if x.dtype == jnp.int8 else x.astype(jnp.int8)
         if strides == (1, 1) and groups == 1 and w8.shape[0] == 1:
             r = route(key)
             if r is not None:
@@ -125,15 +140,15 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
 
     s_in = fm.act_scale('quant_input')
 
-    # Init-conv route decided at build time.  When it's bf16-certified the
+    # Init-conv route decided at build time.  When it's f32-certified the
     # quantized input stays an integer-valued f32 tensor: materializing the
     # (B, H, W, 3) int8 tensor costs a 42× lane-padded round-trip (C=3 →
-    # 128 lanes at int8's (32, 128) tiling) that the bf16 conv never needs.
+    # 128 lanes at int8's (32, 128) tiling) that the f32 conv never needs.
     w8_init, b32_init = plan.conv('init_block')
     if folded:
-        init_bf16 = use_bf16 and bf16_exact_ok(w_fold, _t4(b32_init), 128.0)
+        init_f32 = use_f32 and f32_exact_ok(w_fold, _t4(b32_init), 128.0)
     else:
-        init_bf16 = use_bf16 and bf16_exact_ok(w8_init, b32_init, 128.0)
+        init_f32 = use_f32 and f32_exact_ok(w8_init, b32_init, 128.0)
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
@@ -143,17 +158,18 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
 
     def emit(name, value):
         if capture is not None and name == capture:
+            if jnp.issubdtype(value.dtype, jnp.floating):
+                value = value.astype(jnp.int32)    # f32 mode: exact ints
             captured['value'] = value
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         x8 = jnp.clip(qops.round_half_up(qops.exact_div(images, s_in)),
                       -128, 127)
-        if not init_bf16:
+        if not init_f32:
             x8 = x8.astype(jnp.int8)
         emit('input', x8.astype(jnp.int8))
 
         # init block: conv 3×3/s2 → relu6 → requant (16-bit node)
-        w8, b32 = w8_init, b32_init
         acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
                      * np.float32(s_in))
         s16, b16, sg16 = act_info('quant_act_int32')
@@ -165,26 +181,28 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             assert x8.shape[1:3] == (fh, fw), (
                 f'folded input {x8.shape[1:3]} does not match input_hw='
                 f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
-            if init_bf16:
-                acc = _conv_bf16(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
+            if init_f32:
+                acc = _conv_f32(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
             else:
-                acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32)
+                acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
             acc = _relu6_clip(acc, _t4(acc_scale))
             mult = plan.requant_mult('init_rq_f', _t4(acc_scale), s16)
-            xq = _requant(acc, mult, b16, sg16, residual_dtype)
+            xq = _requant(acc, mult, b16, sg16, res_dt)
             x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
         else:
-            if init_bf16:
-                acc = _conv_bf16(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+            if init_f32:
+                acc = _conv_f32(x8, w8_init, (2, 2), ((1, 1), (1, 1))
+                                ) + b32_init
             else:
-                acc = _conv_i8(x8, w8, (2, 2), ((1, 1), (1, 1))) + b32
+                acc = _conv_i8(x8, w8_init, (2, 2), ((1, 1), (1, 1))
+                               ) + b32_init
             acc = _relu6_clip(acc, acc_scale)
             mult = plan.requant_mult('init_rq', acc_scale, s16)
-            x = _requant(acc, mult, b16, sg16, residual_dtype)
+            x = _requant(acc, mult, b16, sg16, res_dt)
         prev_scale = np.float32(s16)
         emit('init', x)
 
-        in_ch = w8.shape[-1]
+        in_ch = w8_init.shape[-1]
         for i, stage in enumerate(stages, start=1):
             for j, out_ch in enumerate(stage, start=1):
                 p = f'features.stage{i}.unit{j}'
@@ -193,7 +211,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
 
                 sa, ba, sga = act_info(f'{p}.quant_act')
                 mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
-                xa = _requant(x, mult, ba, sga)
+                xa = _requant(x, mult, ba, sga, act_dt)
 
                 # expansion 1×1 → relu6 → requant
                 acc = conv_acc(xa, f'{p}.conv1', act_amax(ba, sga))
@@ -202,11 +220,11 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 acc = _relu6_clip(acc, acc_scale)
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
-                h = _requant(acc, mult, ba1, sg1)
+                h = _requant(acc, mult, ba1, sg1, act_dt)
                 emit(f'{p}.conv1', h)
 
                 # depthwise 3×3 → relu6 → requant
-                w8, b32 = plan.conv(f'{p}.conv2')
+                w8, _ = plan.conv(f'{p}.conv2')
                 mid = w8.shape[-1]
                 # HWIO depthwise kernel: (3, 3, 1, mid), groups = mid
                 acc = conv_acc(h, f'{p}.conv2', act_amax(ba1, sg1),
@@ -217,7 +235,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 acc = _relu6_clip(acc, acc_scale)
                 sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
                 mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
-                h = _requant(acc, mult, ba2, sg2)
+                h = _requant(acc, mult, ba2, sg2, act_dt)
                 emit(f'{p}.conv2', h)
 
                 # linear projection 1×1 (no activation)
@@ -229,13 +247,13 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 m_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
                 if residual:
                     m_id = plan.requant_mult(f'{p}.res_id', prev_scale, s_out)
-                    x = qops.requant_add_int32(acc, m_main, x, m_id)
+                    x = qops.requant_add_int32(acc, m_main, x, m_id,
+                                               out_dtype=res_dt)
                     if residual_dtype != jnp.int32:
                         info = jnp.iinfo(residual_dtype)
-                        x = jnp.clip(x, info.min, info.max
-                                     ).astype(residual_dtype)
+                        x = jnp.clip(x, info.min, info.max).astype(res_dt)
                 else:
-                    x = _requant(acc, m_main, b_out, sg_out, residual_dtype)
+                    x = _requant(acc, m_main, b_out, sg_out, res_dt)
                 prev_scale = np.float32(s_out)
                 in_ch = out_ch
                 emit(f'{p}.quant_act_int32', x)
@@ -243,24 +261,25 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         # final 1×1 block → relu6 → requant
         sa, ba, sga = act_info('quant_act_before_final_block')
         mult = plan.requant_mult('final_in', prev_scale, sa)
-        xa = _requant(x, mult, ba, sga)
+        xa = _requant(x, mult, ba, sga, act_dt)
         acc = conv_acc(xa, 'features.final_block', act_amax(ba, sga))
         acc_scale = (fm['features.final_block.weight_scale']
                      .astype(np.float32) * np.float32(sa))
         acc = _relu6_clip(acc, acc_scale)
         sf, bf, sgf = act_info('quant_act_int32_final')
         mult = plan.requant_mult('final_rq', acc_scale, sf)
-        x = _requant(acc, mult, bf, sgf, jnp.int32)
+        x = _requant(acc, mult, bf, sgf, fin_dt)
         emit('final', x)
 
         # integer global average pool (trunc) + output requant
         hw = x.shape[1] * x.shape[2]
-        pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01
-                           ).astype(jnp.int32)
+        pooled = jnp.sum(x, axis=(1, 2), dtype=fin_dt)
+        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        if not use_f32:
+            pooled = pooled.astype(jnp.int32)
         so, bo, sgo = act_info('quant_act_output')
         mult = plan.requant_mult('out_rq', np.float32(sf), so)
-        f8 = _requant(pooled, mult, bo, sgo)
+        f8 = _requant(pooled, mult, bo, sgo)       # int8 either way (tiny)
         emit('fc_input', f8)
 
         # 1×1 conv head on the pooled vector = dense

@@ -20,6 +20,21 @@ from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.models.resnet import _STAGE_CHANNELS, _INIT_FEATURES
 
 
+
+def _gauss_weight_ints(rng, n: int, shape) -> np.ndarray:
+    """Gaussian integer weights, the realistic synthetic distribution.
+
+    Per-channel symmetric quantization maps the channel max to ±n, so real
+    quantized-weight integers are ~N(0, (n/3.5)²) clipped — E|w| ≈ 0.23·n,
+    not the n/2 of a uniform draw.  The reference's synthetic initializer is
+    also gaussian (QuantizeInitializer, mixed_precision_models/init.py:118-
+    141: np.random.normal(0, 4) for int8).  Weight-magnitude sums feed the
+    certified-f32 route's 2²⁴ accumulator bound (inference/engine.py), so
+    benchmark weights must match real checkpoints' statistics.
+    """
+    w = np.round(rng.normal(0.0, n / 3.5, shape))
+    return np.clip(w, -n, n).astype(np.int8)
+
 def synthetic_frozen_resnet(arch: str, cfg: BitConfig,
                             num_classes: int = 1000,
                             seed: int = 0) -> FrozenModel:
@@ -35,8 +50,8 @@ def synthetic_frozen_resnet(arch: str, cfg: BitConfig,
     def conv(key: str, kh, kw, cin, cout):
         bits = cfg.weight_bits(key)
         n = 2 ** (bits - 1) - 1
-        tensors[key + '.weight_int'] = rng.randint(
-            -n - 1, n + 1, (kh, kw, cin, cout)).astype(np.int8)
+        tensors[key + '.weight_int'] = _gauss_weight_ints(
+            rng, n, (kh, kw, cin, cout))
         tensors[key + '.bias_int'] = rng.randint(
             -2 ** 16, 2 ** 16, (cout,)).astype(np.int32)
         tensors[key + '.weight_scale'] = (
@@ -76,8 +91,8 @@ def synthetic_frozen_resnet(arch: str, cfg: BitConfig,
     act('quant_act_output')
     bits = cfg.weight_bits('quant_output')
     n = 2 ** (bits - 1) - 1
-    tensors['quant_output.weight_int'] = rng.randint(
-        -n - 1, n + 1, (in_ch, num_classes)).astype(np.int8)
+    tensors['quant_output.weight_int'] = _gauss_weight_ints(
+        rng, n, (in_ch, num_classes))
     tensors['quant_output.bias_int'] = rng.randint(
         -2 ** 16, 2 ** 16, (num_classes,)).astype(np.int32)
     tensors['quant_output.weight_scale'] = (
@@ -101,8 +116,8 @@ class _TensorGen:
 
     def conv(self, key: str, kh, kw, cin, cout):
         n = 2 ** (self.cfg.weight_bits(key) - 1) - 1
-        self.tensors[key + '.weight_int'] = self.rng.randint(
-            -n - 1, n + 1, (kh, kw, cin, cout)).astype(np.int8)
+        self.tensors[key + '.weight_int'] = _gauss_weight_ints(
+            self.rng, n, (kh, kw, cin, cout))
         self.tensors[key + '.bias_int'] = self.rng.randint(
             -2 ** 16, 2 ** 16, (cout,)).astype(np.int32)
         self.tensors[key + '.weight_scale'] = (
@@ -111,8 +126,8 @@ class _TensorGen:
     def dense(self, key: str, cin, cout, as_1x1=False):
         n = 2 ** (self.cfg.weight_bits(key) - 1) - 1
         shape = (1, 1, cin, cout) if as_1x1 else (cin, cout)
-        self.tensors[key + '.weight_int'] = self.rng.randint(
-            -n - 1, n + 1, shape).astype(np.int8)
+        self.tensors[key + '.weight_int'] = _gauss_weight_ints(
+            self.rng, n, shape)
         self.tensors[key + '.bias_int'] = self.rng.randint(
             -2 ** 16, 2 ** 16, (cout,)).astype(np.int32)
         self.tensors[key + '.weight_scale'] = (

@@ -409,14 +409,17 @@ def requant_int32(acc: jnp.ndarray, multiplier: jnp.ndarray,
 
 
 def requant_add_int32(acc: jnp.ndarray, acc_multiplier: jnp.ndarray,
-                      identity: jnp.ndarray, id_multiplier: jnp.ndarray) -> jnp.ndarray:
+                      identity: jnp.ndarray, id_multiplier: jnp.ndarray,
+                      out_dtype: jnp.dtype = jnp.int32) -> jnp.ndarray:
     """Frozen-engine dual-branch residual requant-add → int32.
 
     Matches :func:`dyadic_requant_residual` exactly: each branch rounds with
     its own dyadic multiplier, the sum is left unclamped (it carries the
     16-bit residual precision of the quant_act_int32 nodes) and stays in an
     int32 container until the next unit's input requant narrows it.
+    ``out_dtype=float32`` keeps the (integer-valued, < 2²⁴) sum in f32 for
+    the certified-f32 engine route — same numbers, no retiling convert.
     """
     a = round_half_up(acc.astype(jnp.float32) * acc_multiplier)
     b = round_half_up(identity.astype(jnp.float32) * id_multiplier)
-    return (a + b).astype(jnp.int32)
+    return (a + b).astype(out_dtype)

@@ -78,6 +78,21 @@ def test_s2d_init_is_bit_exact():
     np.testing.assert_array_equal(ref, s2d)
 
 
+@pytest.mark.parametrize('scheme', ['uniform8', 'uniform4'])
+def test_f32_conv_mode_bit_exact(scheme):
+    """conv_mode='f32' (certified-exact f32 route, engine.py notes) is
+    bit-identical — including with the int16 residual carrier, folded
+    input, and uint8 input combinations."""
+    model, cfg, v, x = _calibrated_model('tiny50', scheme)
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+    ref = np.asarray(build_resnet_engine(fm)(x))
+    f32 = np.asarray(build_resnet_engine(fm, conv_mode='f32')(x))
+    np.testing.assert_array_equal(ref, f32)
+    f32i16 = np.asarray(build_resnet_engine(fm, conv_mode='f32',
+                                            residual_dtype=jnp.int16)(x))
+    np.testing.assert_array_equal(ref, f32i16)
+
+
 def test_int16_residual_matches_when_in_range():
     """int16 residual carry only clamps values beyond 2^15-1; on a calibrated
     tiny model logits match int32 exactly."""

@@ -79,22 +79,29 @@ def test_inception_site_enumeration_matches_frozen_shapes():
 
 
 def test_mobilenet_bf16_conv_mode_parity():
-    """conv_mode='bf16' (certified-exact bf16 MXU convs, engine.py notes)
+    """conv_mode='f32' (certified-exact bf16 MXU convs, engine.py notes)
     produces bit-identical logits to the int8 engine — and the tiny model's
     convs all pass the 2²⁴ accumulator certificate, so the bf16 path is
     actually exercised."""
-    from hawq_tpu.inference.engine import bf16_exact_ok, act_amax
+    from hawq_tpu.inference.engine import f32_exact_ok, act_amax
     from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
     fm, stages, x = _calibrated_mobilenet()
     for k in fm.tensors:
         if k.endswith('.weight_int') and 'output' not in k:
             key = k[:-len('.weight_int')]
-            assert bf16_exact_ok(fm[k], fm[key + '.bias_int'],
+            assert f32_exact_ok(fm[k], fm[key + '.bias_int'],
                                  act_amax(8, True)), key
     ref = np.asarray(build_mobilenetv2_engine(fm, stages)(x))
     bf = np.asarray(
-        build_mobilenetv2_engine(fm, stages, conv_mode='bf16')(x))
+        build_mobilenetv2_engine(fm, stages, conv_mode='f32')(x))
     np.testing.assert_array_equal(ref, bf)
+    # folded input × bf16 × int16 residual (the production combination)
+    from hawq_tpu.inference import fold
+    xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 1))
+    bf_f = np.asarray(build_mobilenetv2_engine(
+        fm, stages, conv_mode='f32', input_mode='folded_float32',
+        input_hw=(32, 32), residual_dtype=jnp.int16)(xf))
+    np.testing.assert_array_equal(ref, bf_f)
 
 
 @pytest.mark.slow
@@ -156,13 +163,19 @@ def _calibrated_tiny_inception(wd=16):
 
 
 def test_inception_bf16_conv_mode_parity():
-    """conv_mode='bf16' on the inception engine: bit-identical logits."""
+    """conv_mode='f32' on the inception engine: bit-identical logits."""
     from hawq_tpu.inference.engine_inception import build_inceptionv3_engine
     fm, x = _calibrated_tiny_inception()
     ref = np.asarray(build_inceptionv3_engine(fm, width_div=16)(x))
     bf = np.asarray(build_inceptionv3_engine(fm, width_div=16,
-                                             conv_mode='bf16')(x))
+                                             conv_mode='f32')(x))
     np.testing.assert_array_equal(ref, bf)
+    from hawq_tpu.inference import fold
+    xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 0))
+    bf_f = np.asarray(build_inceptionv3_engine(
+        fm, width_div=16, conv_mode='f32', input_mode='folded_float32',
+        input_hw=(96, 96))(xf))
+    np.testing.assert_array_equal(ref, bf_f)
 
 
 @pytest.mark.slow
