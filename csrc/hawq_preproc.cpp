@@ -183,4 +183,39 @@ void fold4(const uint8_t* x, int batch, int h, int w, int c, int elem_size,
   });
 }
 
+// Generalized 4x4 fold for arbitrary pad-before / folded dims
+// (hawq_tpu/inference/fold.py fold4_images_3x3s2: MobileNetV2 p0=1,
+// InceptionV3 p0=0).  (B, H, W, C) -> (B, fh, fw, 16C); spatial position
+// (4*by + ry - pad0, 4*bx + rx - pad0) lands in block channel (ry, rx);
+// out-of-image positions are zero padding.  fold4 above is the special
+// case pad0=3, fh=(h+8)/4.
+void fold4_general(const uint8_t* x, int batch, int h, int w, int c,
+                   int elem_size, int pad0, int fh, int fw, uint8_t* out) {
+  const int pc = c * elem_size;                 // bytes per pixel
+  const int64_t in_row = static_cast<int64_t>(w) * pc;
+  const int64_t in_img = in_row * h;
+  const int64_t out_img = static_cast<int64_t>(fh) * fw * 16 * pc;
+  parallel_for(static_cast<int64_t>(batch) * fh, [&](int64_t t) {
+    const int64_t b = t / fh;
+    const int by = t % fh;
+    uint8_t* dst = out + b * out_img +
+                   static_cast<int64_t>(by) * fw * 16 * pc;
+    std::memset(dst, 0, static_cast<size_t>(fw) * 16 * pc);
+    for (int ry = 0; ry < 4; ++ry) {
+      const int y = by * 4 + ry - pad0;
+      if (y < 0 || y >= h) continue;
+      const uint8_t* src_row = x + b * in_img + y * in_row;
+      for (int bx = 0; bx < fw; ++bx) {
+        for (int rx = 0; rx < 4; ++rx) {
+          const int xx = bx * 4 + rx - pad0;
+          if (xx < 0 || xx >= w) continue;
+          std::memcpy(dst + (static_cast<int64_t>(bx) * 16 +
+                             ry * 4 + rx) * pc,
+                      src_row + static_cast<int64_t>(xx) * pc, pc);
+        }
+      }
+    }
+  });
+}
+
 }  // extern "C"

@@ -154,12 +154,13 @@ def main(argv=None) -> int:
             return 2
         kw['input_mode'] = args.input_mode
         if args.input_mode == 'folded_float32':
-            from hawq_tpu.inference import fold
+            # native (threaded C++) fold when built, numpy fallback
+            from hawq_tpu.utils import preproc
             if fm.arch == 'inceptionv3':
                 kw['input_hw'] = (size, size)
-                fold_fn = lambda a: fold.fold4_images_3x3s2(a, 0)
+                fold_fn = lambda a: preproc.fold4_images_3x3s2(a, 0)
             else:
-                fold_fn = fold.fold4_images
+                fold_fn = preproc.fold4_images
         elif args.input_mode == 'uint8':
             if fm.arch == 'inceptionv3':
                 sys.stderr.write('uint8 mode is resnet-only\n')

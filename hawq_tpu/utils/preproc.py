@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8)]
+    if hasattr(lib, 'fold4_general'):
+        lib.fold4_general.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
     _lib = lib
     return _lib
 
@@ -150,3 +155,24 @@ def fold4_images(x: np.ndarray) -> np.ndarray:
         return out
     from hawq_tpu.inference.fold import fold4_images as np_fold
     return np_fold(x)
+
+
+def fold4_images_3x3s2(x: np.ndarray, p0: int) -> np.ndarray:
+    """Host-side 4×4 fold for a 3×3/stride-2 init conv (InceptionV3 p0=0 —
+    its production input path, docs/perf_tpu.md; MobileNetV2 p0=1).
+    Native (threaded C++) when available; numpy fallback value-identical."""
+    x = np.ascontiguousarray(x)
+    b, h, w, c = x.shape
+    lib = _load()
+    if lib is not None and hasattr(lib, 'fold4_general'):
+        from hawq_tpu.inference.fold import fold4_3x3s2_geometry
+        _, fh, _ = fold4_3x3s2_geometry(h, p0)
+        _, fw, _ = fold4_3x3s2_geometry(w, p0)
+        out = np.empty((b, fh, fw, 16 * c), x.dtype)
+        lib.fold4_general(
+            x.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            b, h, w, c, x.itemsize, p0, fh, fw,
+            out.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+    from hawq_tpu.inference.fold import fold4_images_3x3s2 as np_fold
+    return np_fold(x, p0)

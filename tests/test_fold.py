@@ -102,6 +102,25 @@ def test_native_fold4_matches_numpy():
                                       fold.fold4_images(x))
 
 
+def test_native_fold4_3x3s2_matches_numpy():
+    """The generalized C++ fold (fold4_general) matches the numpy
+    3×3/s2 fold for both pad geometries (inception p0=0, mobilenet p0=1)
+    and both pixel dtypes."""
+    import pytest
+    from hawq_tpu.utils import preproc
+    from hawq_tpu.inference import fold
+    if not preproc.native_available():
+        pytest.skip('no native library')
+    rng = np.random.RandomState(1)
+    xf = rng.randn(2, 35, 43, 3).astype(np.float32)
+    xu = rng.randint(0, 256, (2, 35, 43, 3)).astype(np.uint8)
+    for x in (xf, xu):
+        for p0 in (0, 1):
+            np.testing.assert_array_equal(
+                preproc.fold4_images_3x3s2(x, p0),
+                fold.fold4_images_3x3s2(x, p0))
+
+
 def test_mobilenet_folded_init_bit_exact():
     """folded_float32 input mode (host 4×4 fold of the 3×3/s2 init conv)
     produces bit-identical logits to the direct engine."""
