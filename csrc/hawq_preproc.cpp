@@ -148,47 +148,14 @@ void pack_int4_splitk(const int8_t* w, int64_t k, int64_t n, int8_t* out) {
   });
 }
 
-// 4x4 block fold of the init-conv input (hawq_tpu/inference/fold.py
-// fold4_images): (B, H, W, C) elem_size-byte pixels -> (B, (H+8)/4,
-// (W+8)/4, 16C), padding (3, 5) per spatial axis with zeros.  A pure
-// permutation done while assembling the batch, so the device never touches
-// a C-minor image (docs/perf_tpu.md).
-void fold4(const uint8_t* x, int batch, int h, int w, int c, int elem_size,
-           uint8_t* out) {
-  const int nb = (h + 8) / 4, mb = (w + 8) / 4;
-  const int pc = c * elem_size;                 // bytes per pixel
-  const int64_t in_row = static_cast<int64_t>(w) * pc;
-  const int64_t in_img = in_row * h;
-  const int64_t out_img = static_cast<int64_t>(nb) * mb * 16 * pc;
-  parallel_for(static_cast<int64_t>(batch) * nb, [&](int64_t t) {
-    const int64_t b = t / nb;
-    const int by = t % nb;
-    uint8_t* dst = out + b * out_img +
-                   static_cast<int64_t>(by) * mb * 16 * pc;
-    std::memset(dst, 0, static_cast<size_t>(mb) * 16 * pc);
-    for (int ry = 0; ry < 4; ++ry) {
-      const int y = by * 4 + ry - 3;            // pad 3 before
-      if (y < 0 || y >= h) continue;
-      const uint8_t* src_row = x + b * in_img + y * in_row;
-      for (int bx = 0; bx < mb; ++bx) {
-        for (int rx = 0; rx < 4; ++rx) {
-          const int xx = bx * 4 + rx - 3;
-          if (xx < 0 || xx >= w) continue;
-          std::memcpy(dst + (static_cast<int64_t>(bx) * 16 +
-                             ry * 4 + rx) * pc,
-                      src_row + static_cast<int64_t>(xx) * pc, pc);
-        }
-      }
-    }
-  });
-}
-
-// Generalized 4x4 fold for arbitrary pad-before / folded dims
-// (hawq_tpu/inference/fold.py fold4_images_3x3s2: MobileNetV2 p0=1,
-// InceptionV3 p0=0).  (B, H, W, C) -> (B, fh, fw, 16C); spatial position
+// 4x4 block fold of the init-conv input: a pure permutation done while
+// assembling the batch, so the device never touches a C-minor image
+// (docs/perf_tpu.md).  Generalized for arbitrary pad-before / folded dims
+// (hawq_tpu/inference/fold.py fold4_images / fold4_images_3x3s2:
+// ResNet 7x7/s2 pad0=3, MobileNetV2 3x3/s2 pad0=1, InceptionV3 pad0=0).
+// (B, H, W, C) -> (B, fh, fw, 16C); spatial position
 // (4*by + ry - pad0, 4*bx + rx - pad0) lands in block channel (ry, rx);
-// out-of-image positions are zero padding.  fold4 above is the special
-// case pad0=3, fh=(h+8)/4.
+// out-of-image positions are zero padding.
 void fold4_general(const uint8_t* x, int batch, int h, int w, int c,
                    int elem_size, int pad0, int fh, int fw, uint8_t* out) {
   const int pc = c * elem_size;                 // bytes per pixel
@@ -216,6 +183,13 @@ void fold4_general(const uint8_t* x, int batch, int h, int w, int c,
       }
     }
   });
+}
+
+// Back-compat entry: the ResNet 7x7/s2 geometry (pad 3 before, 5 after).
+void fold4(const uint8_t* x, int batch, int h, int w, int c, int elem_size,
+           uint8_t* out) {
+  fold4_general(x, batch, h, w, c, elem_size, 3, (h + 8) / 4, (w + 8) / 4,
+                out);
 }
 
 }  // extern "C"

@@ -31,11 +31,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(['make', '-C', _CSRC], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: it is a no-op when the .so is fresh, and it
+    # rebuilds a stale .so left over from an older source revision (a stale
+    # library would silently lack newer symbols and degrade to the numpy
+    # fallbacks).
+    try:
+        subprocess.run(['make', '-C', _CSRC], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -136,23 +140,30 @@ def pack_int4(w: np.ndarray) -> np.ndarray:
     return np_pack(w)
 
 
+def _fold4_native(x: np.ndarray, p0: int, fh: int, fw: int) -> np.ndarray:
+    """Run the C++ fold4_general over a contiguous (B, H, W, C) array."""
+    lib = _load()
+    b, h, w, c = x.shape
+    out = np.empty((b, fh, fw, 16 * c), x.dtype)
+    lib.fold4_general(
+        x.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b, h, w, c, x.itemsize, p0, fh, fw,
+        out.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
 def fold4_images(x: np.ndarray) -> np.ndarray:
     """Host-side 4×4 block fold of the init-conv input — the production
     input layout for the integer engines (inference/fold.py, docs/
     perf_tpu.md).  Native (threaded C++) when available; numpy fallback is
     value-identical."""
+    from hawq_tpu.inference.fold import fold4_geometry
     x = np.ascontiguousarray(x)
     b, h, w, c = x.shape
+    fh, fw = fold4_geometry(h, w)      # validates h % 4 == 0 and w % 4 == 0
     lib = _load()
-    if lib is not None and hasattr(lib, 'fold4'):
-        nb, mb = (h + 8) // 4, (w + 8) // 4
-        out = np.empty((b, nb, mb, 16 * c), x.dtype)
-        lib.fold4(x.view(np.uint8).ctypes.data_as(
-                      ctypes.POINTER(ctypes.c_uint8)),
-                  b, h, w, c, x.itemsize,
-                  out.view(np.uint8).ctypes.data_as(
-                      ctypes.POINTER(ctypes.c_uint8)))
-        return out
+    if lib is not None and hasattr(lib, 'fold4_general'):
+        return _fold4_native(x, 3, fh, fw)
     from hawq_tpu.inference.fold import fold4_images as np_fold
     return np_fold(x)
 
@@ -161,18 +172,13 @@ def fold4_images_3x3s2(x: np.ndarray, p0: int) -> np.ndarray:
     """Host-side 4×4 fold for a 3×3/stride-2 init conv (InceptionV3 p0=0 —
     its production input path, docs/perf_tpu.md; MobileNetV2 p0=1).
     Native (threaded C++) when available; numpy fallback value-identical."""
+    from hawq_tpu.inference.fold import fold4_3x3s2_geometry
     x = np.ascontiguousarray(x)
     b, h, w, c = x.shape
     lib = _load()
     if lib is not None and hasattr(lib, 'fold4_general'):
-        from hawq_tpu.inference.fold import fold4_3x3s2_geometry
         _, fh, _ = fold4_3x3s2_geometry(h, p0)
         _, fw, _ = fold4_3x3s2_geometry(w, p0)
-        out = np.empty((b, fh, fw, 16 * c), x.dtype)
-        lib.fold4_general(
-            x.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            b, h, w, c, x.itemsize, p0, fh, fw,
-            out.view(np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-        return out
+        return _fold4_native(x, p0, fh, fw)
     from hawq_tpu.inference.fold import fold4_images_3x3s2 as np_fold
     return np_fold(x, p0)

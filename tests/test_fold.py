@@ -111,6 +111,8 @@ def test_native_fold4_3x3s2_matches_numpy():
     from hawq_tpu.inference import fold
     if not preproc.native_available():
         pytest.skip('no native library')
+    assert hasattr(preproc._load(), 'fold4_general'), \
+        'stale hawq_preproc.so: fold4_general missing (make -C csrc)'
     rng = np.random.RandomState(1)
     xf = rng.randn(2, 35, 43, 3).astype(np.float32)
     xu = rng.randint(0, 256, (2, 35, 43, 3)).astype(np.uint8)
