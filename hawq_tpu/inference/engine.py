@@ -22,7 +22,6 @@ a named node and return its raw integer tensor, mirroring the reference's
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -42,10 +41,6 @@ def _np_dyadic_multiplier(ratio: np.ndarray) -> np.ndarray:
     m_int = np.floor(m * (2.0 ** qops.DYADIC_MANTISSA_BITS) + 0.5)
     e_out = qops.DYADIC_MANTISSA_BITS - e
     return np.ldexp(m_int.astype(np.float32), -e_out).astype(np.float32)
-
-
-def _clip_bounds(bits: int, signed: bool) -> Tuple[float, float]:
-    return qops.requant_clip_bounds(bits, signed)
 
 
 class _Plan:
@@ -161,24 +156,17 @@ def _conv_f32(x: jnp.ndarray, w8: np.ndarray, strides, padding,
 
 
 def _s2d_input(x8: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad by 3 and fold 2×2 pixel blocks into channels:
-    (B, H, W, C) → (B, (H+6)/2, (W+6)/2, 4C)."""
-    b, h, w, c = x8.shape
-    xp = jnp.pad(x8, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    hp, wp = h + 6, w + 6
-    x2 = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
-    x2 = x2.transpose(0, 1, 3, 2, 4, 5)
-    return x2.reshape(b, hp // 2, wp // 2, 4 * c)
+    """7×7/s2 init space-to-depth: pad 3 + 2×2 fold (kernels/conv.py
+    s2d_input — one shared definition keeps the rewrite bit-exact)."""
+    from hawq_tpu.kernels.conv import s2d_input
+    return s2d_input(x8, 3)
 
 
 def _s2d_kernel(w: np.ndarray) -> np.ndarray:
-    """Rewrite a (7, 7, C, O) stride-2 kernel as (4, 4, 4C, O) stride-1 over
-    the space-to-depth input (kernel zero-padded to 8×8)."""
-    kh, kw, c, o = w.shape
-    wp = np.zeros((kh + 1, kw + 1, c, o), w.dtype)
-    wp[:kh, :kw] = w
-    w2 = wp.reshape(4, 2, 4, 2, c, o).transpose(0, 2, 1, 3, 4, 5)
-    return w2.reshape(4, 4, 4 * c, o)
+    """(7, 7, C, O) stride-2 kernel → (4, 4, 4C, O) stride-1 over the s2d
+    input (kernels/conv.py s2d_kernel, same (cy, cx, c) channel order)."""
+    from hawq_tpu.kernels.conv import s2d_kernel
+    return s2d_kernel(w)
 
 
 def _maxpool_int(x: jnp.ndarray, window, strides, padding) -> jnp.ndarray:
@@ -251,13 +239,17 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         packed_weights = {}
         conv_weights = {}
 
+        def want_int4(key: str) -> bool:
+            # stream nibble-packed weights iff the layer is 4-bit AND the
+            # routing table (when present) picked the int4 kernel
+            return (cfg.weight_bits(key) == 4 and
+                    (routing is None or routing.get(key) == 'pallas4w'))
+
         def pallas_weights(key: str):
             if key not in packed_weights:
                 w = fm[key + '.weight_int']          # (1, 1, Cin, Cout)
                 w2d = np.asarray(w).reshape(w.shape[2], w.shape[3])
-                want4 = (cfg.weight_bits(key) == 4 and
-                         (routing is None or routing.get(key) == 'pallas4w'))
-                if want4:
+                if want_int4(key):
                     packed_weights[key] = (km.pack_int4(w2d), True)
                 else:
                     packed_weights[key] = (w2d, False)
@@ -273,9 +265,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                     w = kc.s2d_kernel(w)
                 taps = (w.shape[0], w.shape[1])
                 wf = kc.flatten_conv_kernel(w)
-                want4 = (cfg.weight_bits(key) == 4 and
-                         (routing is None or routing.get(key) == 'pallas4w'))
-                if want4:
+                if want_int4(key):
                     conv_weights[ck] = (kc.pack_int4_conv(
                         wf, taps[0] * taps[1]), taps, w.shape[2], True)
                 else:
@@ -325,8 +315,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             m = b * h * w_
             xm = km.pad_to(x8.reshape(m, c), 256, 1)
             wq, is4 = pallas_weights(key)
-            bias = plan.b[key] if key in plan.b else np.asarray(
-                fm[key + '.bias_int'])
+            bias = plan.conv(key)[1]
             fn = km.int4w_matmul_requant if is4 else km.int8_matmul_requant
             y = fn(xm, wq, bias, mult, out_bits=out_bits, signed=signed,
                    relu=relu)
@@ -340,7 +329,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             m = b * h * w_
             xm = km.pad_to(x8.reshape(m, c), 256, 1)
             wq, is4 = pallas_weights(key)
-            bias = np.asarray(fm[key + '.bias_int'])
+            bias = plan.conv(key)[1]
             if is4:
                 y = km.int4w_matmul_acc(xm, wq, bias)
             else:
@@ -458,9 +447,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             # 3×3/s1 rewrite of the 7×7/s2; requant+relu in folded layout
             # (per-channel vectors tiled over the 4 stride-2 origins), then
             # depth-to-space on the narrow residual dtype.
-            nb, mb = x8.shape[1], x8.shape[2]
             acc = init_conv(x8, w_fold, (1, 1), 'VALID') + np.tile(b32, 4)
-            acc = acc[:, :nb - 2, :mb - 2]
             mult = plan.requant_mult('init_requant', np.tile(s_init, 4), s16)
             x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
@@ -614,15 +601,19 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 s_out, b_out, sg_out = act_info(f'{p}.quant_act_int32')
                 mult_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
                 mult_id = plan.requant_mult(f'{p}.res_id', id_scale, s_out)
-                x = qops.requant_add_int32(acc, mult_main, id_acc, mult_id,
-                                           out_dtype=res_dt)
+                # keep the unclamped sum in a wide container (f32/int32) so
+                # the clamp below sees the true value — narrowing first would
+                # make out-of-range sums implementation-defined
+                x = qops.requant_add_int32(
+                    acc, mult_main, id_acc, mult_id,
+                    out_dtype=jnp.float32 if use_f32 else jnp.int32)
                 x = jnp.maximum(x, 0)
                 if residual_dtype != jnp.int32:
                     # halved inter-unit traffic; clamps the (rare) residual
                     # sums above 2^15-1 — the 16-bit behavior the bit configs
                     # nominally declare for these nodes
-                    x = jnp.clip(x, 0, jnp.iinfo(residual_dtype).max
-                                 ).astype(res_dt)
+                    x = jnp.clip(x, 0, jnp.iinfo(residual_dtype).max)
+                x = x.astype(res_dt)
                 prev_scale = np.float32(s_out)
                 emit_int(f'{p}.quant_act_int32', x)
 
@@ -631,7 +622,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         hw = x.shape[1] * x.shape[2]
         pooled = jnp.sum(x, axis=(1, 2),
                          dtype=jnp.float32 if use_f32 else jnp.int32)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        pooled = jnp.trunc(qops.exact_div(pooled.astype(jnp.float32), hw)
+                           + 0.01)
         emit('avg_pool', pooled)
 
         s_fc, b_fc, sg_fc = act_info('quant_act_output')

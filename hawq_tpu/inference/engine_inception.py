@@ -273,12 +273,12 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 x_int, jnp.float32(0), jax.lax.add,
                 (1, 3, 3, 1), (1, 1, 1, 1),
                 ((0, 0), (1, 1), (1, 1), (0, 0)))
-            return jnp.trunc(summed / 9.0 + 0.01)
+            return jnp.trunc(qops.exact_div(summed, 9.0) + 0.01)
         summed = jax.lax.reduce_window(
             x_int.astype(jnp.int32), jnp.int32(0), jax.lax.add,
             (1, 3, 3, 1), (1, 1, 1, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
-        return jnp.trunc(summed.astype(jnp.float32) / 9.0 + 0.01
-                         ).astype(jnp.int32)
+        return jnp.trunc(qops.exact_div(summed.astype(jnp.float32), 9.0)
+                         + 0.01).astype(jnp.int32)
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         ip = 'features.q_init_block'
@@ -387,7 +387,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
         hw = x.shape[1] * x.shape[2]
         pooled = jnp.sum(x, axis=(1, 2),
                          dtype=jnp.float32 if use_f32 else jnp.int32)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        pooled = jnp.trunc(qops.exact_div(pooled.astype(jnp.float32), hw)
+                           + 0.01)
         if not use_f32:
             pooled = pooled.astype(jnp.int32)
         f8, s_fc, fam = requant_to(pooled, s, 'features.q_concat_activ',

@@ -247,11 +247,15 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 m_main = plan.requant_mult(f'{p}.res_main', acc_scale, s_out)
                 if residual:
                     m_id = plan.requant_mult(f'{p}.res_id', prev_scale, s_out)
-                    x = qops.requant_add_int32(acc, m_main, x, m_id,
-                                               out_dtype=res_dt)
+                    # wide container first: narrowing an out-of-range sum is
+                    # implementation-defined, so clamp before the cast
+                    x = qops.requant_add_int32(
+                        acc, m_main, x, m_id,
+                        out_dtype=jnp.float32 if use_f32 else jnp.int32)
                     if residual_dtype != jnp.int32:
                         info = jnp.iinfo(residual_dtype)
-                        x = jnp.clip(x, info.min, info.max).astype(res_dt)
+                        x = jnp.clip(x, info.min, info.max)
+                    x = x.astype(res_dt)
                 else:
                     x = _requant(acc, m_main, b_out, sg_out, res_dt)
                 prev_scale = np.float32(s_out)
@@ -274,7 +278,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         # integer global average pool (trunc) + output requant
         hw = x.shape[1] * x.shape[2]
         pooled = jnp.sum(x, axis=(1, 2), dtype=fin_dt)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        pooled = jnp.trunc(qops.exact_div(pooled.astype(jnp.float32), hw)
+                           + 0.01)
         if not use_f32:
             pooled = pooled.astype(jnp.int32)
         so, bo, sgo = act_info('quant_act_output')

@@ -226,7 +226,8 @@ def build_resnet_v2_engine(fm: FrozenModel, capture: Optional[str] = None):
         x = jnp.maximum(x, 0)
         hw = x.shape[1] * x.shape[2]
         pooled = jnp.sum(x, axis=(1, 2), dtype=jnp.int32)
-        pooled = jnp.trunc(pooled.astype(jnp.float32) / hw + 0.01)
+        pooled = jnp.trunc(qops.exact_div(pooled.astype(jnp.float32), hw)
+                           + 0.01)
         s_fc, b_fc, sg_fc = act_info('quant_act_output')
         # head quantizer is a *direct* re-quantization of the pooled values
         # (QuantAct case (a)): round(value / s_fc) with value = ints·prev

@@ -550,7 +550,13 @@ def quant_avg_pool(x, scale, window, strides=(1, 1), padding='VALID'):
     float average to the integer division a hardware pool performs, rescale.
     """
     x_int = qops.ste_round(x / scale)
-    pooled = nn.avg_pool(x_int, window, strides=strides, padding=padding)
+    # window-sum then a pinned true division: nn.avg_pool's internal
+    # x/window_size is subject to XLA's reciprocal-multiply rewrite (1 ulp),
+    # which can flip the trunc(+0.01) below between jit and eager for large
+    # integer sums.  exact_div keeps QAT and every engine on the identical
+    # IEEE divide (see quant/ops.py exact_div; engines mirror this op order).
+    summed = nn.pool(x_int, 0.0, jax.lax.add, window, strides, padding)
+    pooled = qops.exact_div(summed, float(window[0] * window[1]))
     pooled_int = qops.ste_floor_eps(pooled)
     return pooled_int * scale, scale
 
