@@ -304,3 +304,73 @@ def test_cifar10_batches(tmp_path):
     small = list(cifar10_batches(str(tmp_path), 4, train=True,
                                  data_percentage=0.25))
     assert len(small) == 25 // 4
+
+
+@pytest.mark.slow
+def test_w4a4_qat_accuracy_recovery_end_to_end():
+    """QAT learns a real task at W4A4 and the integer engine preserves it.
+
+    The in-environment analog of the reference's accuracy story
+    (model_zoo.md:24-32: W4A4 within a few points of fp32; reproduced
+    eval at model_zoo.md:79): no ImageNet here, so the task is a
+    separable synthetic one — 4 fixed random class patterns + noise.
+    Protocol mirrors the reference's fix-BN schedule
+    (quant_train.py:407-414): train with live BN, then switch to
+    folded BN (the deployment graph), then freeze → integer engine.
+
+    Asserts: (a) W4A4 QAT reaches ≥90% held-out accuracy (training
+    optimizes accuracy, not just loss); (b) the folded fine-tune phase
+    keeps it; (c) the frozen integer engine reproduces the QAT folded
+    graph's predictions exactly, so deployed accuracy == QAT accuracy.
+    """
+    from hawq_tpu.inference.freeze import freeze_resnet
+    from hawq_tpu.inference.engine import build_resnet_engine
+
+    nc, size, batch = 4, 32, 32
+    rng = np.random.RandomState(0)
+    patterns = rng.randn(nc, size, size, 3).astype(np.float32)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        y = r.randint(0, nc, (batch,))
+        x = patterns[y] + 0.7 * r.randn(batch, size, size, 3
+                                        ).astype(np.float32)
+        return {'image': jnp.asarray(x), 'label': jnp.asarray(y)}
+
+    cfg = get_bit_config('tiny18', 'uniform4')
+    model = QResNet(arch='tiny18', cfg=cfg, num_classes=nc)
+    b0 = make_batch(1)
+    v = model.init(jax.random.PRNGKey(0), b0['image'], folded=False,
+                   update_stats=True)
+    tx = sgd_with_step_decay(0.05, momentum=0.9, weight_decay=0.0)
+    state = TrainState.create(v, tx)
+
+    # phase 1: live-BN QAT (fix_BN=False) until the task is learned
+    step = make_train_step(model, folded=False)
+    for i in range(150):
+        state, _ = step(state, make_batch(i + 1))
+
+    heldout = make_batch(999)
+    eval_step = make_eval_step(model)          # folded (deployment) graph
+    top1_unfolded = float(eval_step(state.variables(), heldout)['top1'])
+    assert top1_unfolded >= 0.90, top1_unfolded
+
+    # phase 2: fix-BN switch — fine-tune on the folded graph
+    step_folded = make_train_step(model, folded=True)
+    for i in range(20):
+        state, _ = step_folded(state, make_batch(1000 + i))
+    top1_folded = float(eval_step(state.variables(), heldout)['top1'])
+    assert top1_folded >= 0.90, top1_folded
+
+    # phase 3: freeze → integer engine must reproduce QAT exactly
+    vnp = jax.tree.map(np.asarray, state.variables())
+    fm = freeze_resnet(vnp, 'tiny18', cfg, num_classes=nc)
+    engine = build_resnet_engine(fm, s2d_init=False)
+    eng_logits = np.asarray(engine(heldout['image']))
+    qat_logits = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, folded=True, update_stats=False))(
+            state.variables(), heldout['image']))
+    assert (eng_logits.argmax(-1) == qat_logits.argmax(-1)).all()
+    eng_top1 = float((eng_logits.argmax(-1)
+                      == np.asarray(heldout['label'])).mean())
+    assert eng_top1 == top1_folded
