@@ -110,6 +110,12 @@ def main(argv=None) -> int:
                         "mobilenetv2/inceptionv3 engines)")
     args = p.parse_args(argv)
 
+    import os
+    import jax
+    # honor JAX_PLATFORMS even where a sitecustomize force-registers a
+    # device plugin (the config API wins over plugin registration)
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     import jax.numpy as jnp
     fm = _load_frozen_or_synthetic(args)
     size = args.image_size or default_image_size(fm)

@@ -277,8 +277,10 @@ class Trainer:
         meta = {'epoch': epoch, 'arch': self.cfg.arch,
                 'scheme': self.cfg.scheme, 'best_acc': self.best_acc,
                 'step': int(self.state.step)}
+        opt_leaves = [np.asarray(l) for l in
+                      jax.tree_util.tree_leaves(self.state.opt_state)]
         ckpt.save_train_checkpoint(self._ckpt_path('checkpoint.npz'),
-                                   variables, meta)
+                                   variables, meta, opt_leaves=opt_leaves)
         if is_best:
             shutil.copy(self._ckpt_path('checkpoint.npz'),
                         self._ckpt_path('model_best.npz'))
@@ -301,24 +303,50 @@ class Trainer:
         ckpt.save_frozen(self._ckpt_path('quantized_checkpoint.npz'), fm)
 
     def _resume(self, path: str, quantized: bool):
-        variables, meta = ckpt.load_train_checkpoint(path)
+        """Reference flavors (quant_train.py):
+        --resume (:238-258): map the checkpoint's *weights + BN statistics*
+          onto the model; activation ranges stay fresh (the reference's key
+          remap skips scaling_factor/min/max) and are recalibrated.
+        --resume-quantize (:304-318): quantized-training continuation —
+          weights AND quantization state (ranges, BN stats) restore, the
+          progressive-QAT path (model_zoo.md:83).
+        Both restore epoch/best/step/optimizer when present (:370-387)."""
+        variables, meta, opt_leaves = ckpt.load_train_checkpoint(
+            path, return_opt=True)
         cur = self.state.variables()
-        if quantized:
-            # quantized resume keeps current params, restores ranges/stats
-            merged = {'params': cur['params'],
-                      'quant_stats': variables.get('quant_stats',
-                                                   cur['quant_stats']),
-                      'batch_stats': variables.get('batch_stats',
-                                                   cur['batch_stats'])}
-        else:
-            merged = variables
+        merged = {'params': variables.get('params', cur['params']),
+                  'quant_stats': (variables.get('quant_stats',
+                                                cur['quant_stats'])
+                                  if quantized else cur['quant_stats']),
+                  'batch_stats': variables.get('batch_stats',
+                                               cur['batch_stats'])}
         self.state = self.state.replace(
             params=merged['params'], quant_stats=merged['quant_stats'],
             batch_stats=merged.get('batch_stats', {}))
+        if opt_leaves:
+            flat, treedef = jax.tree_util.tree_flatten(self.state.opt_state)
+            if len(opt_leaves) == len(flat) and all(
+                    np.shape(a) == np.shape(b) for a, b in
+                    zip(opt_leaves, flat)):
+                self.state = self.state.replace(
+                    opt_state=jax.tree_util.tree_unflatten(
+                        treedef, [jnp.asarray(l) for l in opt_leaves]))
+            else:
+                self.log.warning(
+                    'checkpoint optimizer state does not match the current '
+                    'optimizer (%d vs %d leaves) — reinitialized',
+                    len(opt_leaves), len(flat))
         if meta:
             self.start_epoch = int(meta.get('epoch', 0))
             self.best_acc = float(meta.get('best_acc', 0.0))
-        self.log.info('resumed from %s (epoch %d, best %.2f)', path,
+            if 'step' in meta:
+                self.state = self.state.replace(
+                    step=jnp.asarray(int(meta['step']), jnp.int32))
+        if self.mesh is not None:
+            from hawq_tpu.parallel import mesh as pmesh
+            self.state = pmesh.replicate_state(self.mesh, self.state)
+        self.log.info('resumed from %s (%s, epoch %d, best %.2f)', path,
+                      'quantized' if quantized else 'float',
                       self.start_epoch, self.best_acc)
 
     # -- phases -------------------------------------------------------------
@@ -431,6 +459,10 @@ def main(argv=None):
                 if f.default is None else type(f.default)
             p.add_argument(name, type=typ, default=f.default)
     args = p.parse_args(argv)
+    # honor JAX_PLATFORMS even where a sitecustomize force-registers a
+    # device plugin (the config API wins over plugin registration)
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     cfg = TrainerConfig(**vars(args))
     return Trainer(cfg).run()
 

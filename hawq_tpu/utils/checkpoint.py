@@ -58,24 +58,41 @@ def unflatten_dict(flat: Mapping[str, np.ndarray], sep: str = '/') -> Dict:
 # training checkpoints
 # ---------------------------------------------------------------------------
 
+_OPT_PREFIX = '__opt__'    # positional optimizer-state leaves in the npz
+
+
 def save_train_checkpoint(path: str, variables: Mapping,
-                          meta: Optional[Mapping] = None) -> None:
+                          meta: Optional[Mapping] = None,
+                          opt_leaves: Optional[list] = None) -> None:
+    """Training checkpoint: variables (+ optional optimizer-state leaves,
+    stored positionally — the reference saves/restores `optimizer`
+    alongside the state dict, quant_train.py:475-481, 370-387)."""
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     flat = flatten_dict(variables)
+    for i, leaf in enumerate(opt_leaves or []):
+        flat[f'{_OPT_PREFIX}{i}'] = np.asarray(leaf)
     np.savez(path, **flat)
     if meta is not None:
         with open(path + '.meta.json', 'w') as f:
             json.dump(dict(meta), f, indent=1, default=str)
 
 
-def load_train_checkpoint(path: str) -> Tuple[Dict, Optional[Dict]]:
+def load_train_checkpoint(path: str, return_opt: bool = False):
+    """Returns (variables, meta) — or (variables, meta, opt_leaves) with
+    return_opt=True, where opt_leaves is the positional list saved by
+    save_train_checkpoint ([] for checkpoints without optimizer state)."""
     with np.load(path if path.endswith('.npz') else path + '.npz') as z:
         flat = {k: z[k] for k in z.files}
+    opt_keys = sorted((k for k in flat if k.startswith(_OPT_PREFIX)),
+                      key=lambda k: int(k[len(_OPT_PREFIX):]))
+    opt_leaves = [flat.pop(k) for k in opt_keys]
     meta = None
     meta_path = (path if path.endswith('.npz') else path + '.npz') + '.meta.json'
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
+    if return_opt:
+        return unflatten_dict(flat), meta, opt_leaves
     return unflatten_dict(flat), meta
 
 

@@ -137,3 +137,57 @@ def test_trainer_kd_random_teacher_warns(tmp_path):
     Trainer(_cfg(tmp_path, distill_alpha=0.9))
     log = (tmp_path / 'log.log').read_text()
     assert 'randomly initialized' in log
+
+
+def test_trainer_resume_float_and_quantized(tmp_path):
+    """Both resume flavors (quant_train.py:238-258, :304-318) + progressive
+    QAT chaining (model_zoo.md:83): uniform8 → resume-quantize → uniform4."""
+    from hawq_tpu.utils import checkpoint as ckpt
+
+    cfg = _cfg(tmp_path / 'run8', use_mesh=False)
+    t = Trainer(cfg)
+    t.run()
+    path = str(tmp_path / 'run8' / 'checkpoint.npz')
+    saved, meta, opt_leaves = ckpt.load_train_checkpoint(path,
+                                                         return_opt=True)
+    assert meta['epoch'] == 1 and opt_leaves, meta
+
+    # float flavor: weights + BN statistics restore bit-for-bit, activation
+    # ranges do NOT (they recalibrate); epoch/step/optimizer restore
+    t2 = Trainer(_cfg(tmp_path / 'resume_float', use_mesh=False,
+                      epochs=2, resume=path))
+    assert t2.start_epoch == 1
+    assert int(t2.state.step) == int(meta['step'])
+    got = jax.tree.map(np.asarray, t2.state.variables())
+    np.testing.assert_array_equal(
+        got['params']['quant_output']['kernel'],
+        saved['params']['quant_output']['kernel'])
+    fresh = Trainer(_cfg(tmp_path / 'fresh', use_mesh=False))
+    ranges_restored = np.array_equal(
+        ckpt.flatten_dict(got['quant_stats'])['quant_input/x_max'],
+        ckpt.flatten_dict(saved['quant_stats'])['quant_input/x_max'])
+    assert not ranges_restored or np.array_equal(
+        ckpt.flatten_dict(
+            jax.tree.map(np.asarray, fresh.state.variables())['quant_stats']
+        )['quant_input/x_max'],
+        ckpt.flatten_dict(saved['quant_stats'])['quant_input/x_max'])
+    n_opt = len(jax.tree_util.tree_leaves(t2.state.opt_state))
+    assert n_opt == len(opt_leaves)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(t2.state.opt_state)[0]),
+        opt_leaves[0])
+    t2.run()    # continues from epoch 1 without retraining epoch 0
+
+    # quantized flavor, chained into a *different scheme*: weights AND
+    # ranges restore (progressive QAT), then uniform4 training proceeds
+    t4 = Trainer(_cfg(tmp_path / 'run4', use_mesh=False, scheme='uniform4',
+                      epochs=2, resume=path, resume_quantize=True))
+    got4 = jax.tree.map(np.asarray, t4.state.variables())
+    np.testing.assert_array_equal(
+        got4['params']['quant_output']['kernel'],
+        saved['params']['quant_output']['kernel'])
+    np.testing.assert_array_equal(
+        ckpt.flatten_dict(got4['quant_stats'])['quant_input/x_max'],
+        ckpt.flatten_dict(saved['quant_stats'])['quant_input/x_max'])
+    acc = t4.run()
+    assert 0.0 <= acc <= 1.0
