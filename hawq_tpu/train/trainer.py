@@ -408,6 +408,7 @@ class Trainer:
             'epoch %d: folded_bn=%s loss %.4f acc %.4f (%d steps, %.1fs)',
             epoch, folded, loss_sum / max(n, 1), acc_sum / max(n, 1), n,
             time.time() - t0)
+        return loss_sum / max(n, 1)
 
     def evaluate(self) -> float:
         from hawq_tpu.parallel.distributed import psum_metrics
