@@ -57,10 +57,16 @@ def default_image_size(fm: FrozenModel) -> int:
 
 
 def _load_frozen_or_synthetic(args) -> FrozenModel:
+    from hawq_tpu.configs.bit_config import get_bit_config
+    if getattr(args, 'import_reference', None):
+        # the reference's quantized_checkpoint.pth.tar hand-off artifact
+        from hawq_tpu.utils.checkpoint import load_reference_quantized
+        return load_reference_quantized(
+            args.import_reference, args.arch,
+            get_bit_config(args.arch, args.scheme))
     if args.frozen:
         from hawq_tpu.utils.checkpoint import load_frozen
         return load_frozen(args.frozen)
-    from hawq_tpu.configs.bit_config import get_bit_config
     from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
     return synthetic_frozen_resnet(args.arch,
                                    get_bit_config(args.arch, args.scheme))
@@ -69,6 +75,16 @@ def _load_frozen_or_synthetic(args) -> FrozenModel:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description='hawq-tpu deployment driver')
     p.add_argument('--frozen', help='quantized_checkpoint.npz path')
+    p.add_argument('--import-reference',
+                   help="reference quantized_checkpoint.pth.tar to import "
+                        "(five-slice artifact of the published HAWQ-V3 "
+                        "model zoo; needs --arch/--scheme for the bit "
+                        "config)")
+    p.add_argument('--requant-mode', default='native',
+                   choices=['native', 'reference'],
+                   help="'reference': replay with the reference's 31-bit/"
+                        "f64 dyadic rounding (imported checkpoints; CPU, "
+                        "enables jax x64; resnet v1 engines only)")
     p.add_argument('--arch', default='resnet50',
                    help='synthetic-weight arch when no --frozen')
     p.add_argument('--scheme', default='uniform8')
@@ -130,6 +146,15 @@ def main(argv=None) -> int:
         print(f'exported ONNX → {args.export_onnx}')
 
     kw = {}
+    if args.requant_mode != 'native':
+        if fm.arch in ('mobilenetv2', 'inceptionv3') or \
+                fm.arch.endswith('v2'):
+            sys.stderr.write("--requant-mode reference supports the resnet "
+                             "v1 engines only\n")
+            return 2
+        import jax as _jax
+        _jax.config.update('jax_enable_x64', True)
+        kw['requant_mode'] = args.requant_mode
     if args.conv_mode != 'int8':
         if fm.arch != 'mobilenetv2' and fm.arch.endswith('v2'):
             sys.stderr.write(f'--conv-mode {args.conv_mode} is not '

@@ -50,8 +50,9 @@ class _Plan:
     trace.  (Creating jnp arrays lazily inside a traced function leaks
     tracers into later traces — found by the serving tests.)"""
 
-    def __init__(self, fm: FrozenModel):
+    def __init__(self, fm: FrozenModel, requant_mode: str = 'native'):
         self.fm = fm
+        self.requant_mode = requant_mode
         self.w: Dict[str, np.ndarray] = {}
         self.b: Dict[str, np.ndarray] = {}
         self.mult: Dict[str, np.ndarray] = {}
@@ -64,12 +65,22 @@ class _Plan:
         return self.w[key], self.b[key]
 
     def requant_mult(self, name: str, acc_scale: np.ndarray,
-                     out_scale: np.float32) -> np.ndarray:
-        """acc_scale may be per-channel (weight scale × act scale)."""
+                     out_scale: np.float32):
+        """acc_scale may be per-channel (weight scale × act scale).
+
+        native mode: one exact-f32 23-bit dyadic multiplier (the canonical
+        framework numerics).  reference mode: the reference's 31-bit
+        (m, 2⁻ᵉ) float64 pair (quant/reference_oracle.py), returned as a
+        tuple — downstream requants dispatch on tuple-ness.
+        """
         if name not in self.mult:
-            ratio = (np.asarray(acc_scale, np.float32)
-                     / np.float32(out_scale)).astype(np.float32)
-            self.mult[name] = _np_dyadic_multiplier(ratio)
+            if self.requant_mode == 'reference':
+                from hawq_tpu.quant import reference_oracle as ro
+                self.mult[name] = ro.decompose_ref(acc_scale, out_scale)
+            else:
+                ratio = (np.asarray(acc_scale, np.float32)
+                         / np.float32(out_scale)).astype(np.float32)
+                self.mult[name] = _np_dyadic_multiplier(ratio)
         return self.mult[name]
 
 
@@ -82,9 +93,22 @@ def _conv_i8(x8: jnp.ndarray, w8: jnp.ndarray, strides, padding,
         feature_group_count=groups, preferred_element_type=jnp.int32)
 
 
-def _requant(acc: jnp.ndarray, mult: jnp.ndarray, bits: int, signed: bool,
+def _requant(acc: jnp.ndarray, mult, bits: int, signed: bool,
              out_dtype=jnp.int8) -> jnp.ndarray:
+    if isinstance(mult, tuple):            # reference replay mode: (m, 2⁻ᵉ)
+        return qops.requant_int32_ref(acc, mult[0], mult[1], bits, signed,
+                                      out_dtype)
     return qops.requant_int32(acc, mult, bits, signed, out_dtype)
+
+
+def _requant_add(acc: jnp.ndarray, mult_main, identity: jnp.ndarray,
+                 mult_id, out_dtype) -> jnp.ndarray:
+    if isinstance(mult_main, tuple):
+        return qops.requant_add_int32_ref(acc, mult_main[0], mult_main[1],
+                                          identity, mult_id[0], mult_id[1],
+                                          out_dtype)
+    return qops.requant_add_int32(acc, mult_main, identity, mult_id,
+                                  out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -191,7 +215,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         input_mode: str = 'float32',
                         input_mean: np.ndarray = IMAGENET_MEAN,
                         input_std: np.ndarray = IMAGENET_STD,
-                        conv_mode: str = 'int8'):
+                        conv_mode: str = 'int8',
+                        requant_mode: str = 'native'):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
@@ -224,13 +249,31 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     W4A4 weights (±7) certify every layer; at W8A8 the wide stage3/4 convs
     typically fall back — exactly the layers where the int8 MXU (2× bf16
     peak) wins anyway.
+
+    ``requant_mode='reference'``: replay an **imported reference checkpoint**
+    (utils/checkpoint.import_reference_quantized) with the reference's own
+    requant numerics — 31-bit Decimal-rounded dyadic mantissas evaluated in
+    float64 (quant_utils.py:188-213, 344-460) instead of the framework's
+    23-bit f32 grid.  Requires jax x64 (CPU validation path; TPUs have no
+    f64 — serve imported checkpoints in native mode, whose divergence is
+    bounded to borderline-rounding flips, see docs/reference_import.md).
     """
     assert conv_mode in ('int8', 'f32'), conv_mode
+    assert requant_mode in ('native', 'reference'), requant_mode
+    if requant_mode == 'reference':
+        # the replay path evaluates the reference's float64 fixedpoint_fn
+        # semantics (quant/reference_oracle.py); it is a validation mode for
+        # imported reference checkpoints — keep the graph on the plain int8
+        # XLA route with full-width residual carriers (the reference's own
+        # deployment graph shape, quantized_resnet_v1.py:50-263)
+        assert conv_mode == 'int8' and not use_pallas and routing is None \
+            and residual_dtype == jnp.int32 and not s2d_init, \
+            "requant_mode='reference' supports only the plain int8 route"
     use_f32 = conv_mode == 'f32'
     act_dt = jnp.float32 if use_f32 else jnp.int8
     res_dt = jnp.float32 if use_f32 else residual_dtype
     arch, cfg = fm.arch, fm.cfg
-    plan = _Plan(fm)
+    plan = _Plan(fm, requant_mode)
     if routing is not None:
         use_pallas = True
     if use_pallas:
@@ -604,7 +647,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 # keep the unclamped sum in a wide container (f32/int32) so
                 # the clamp below sees the true value — narrowing first would
                 # make out-of-range sums implementation-defined
-                x = qops.requant_add_int32(
+                x = _requant_add(
                     acc, mult_main, id_acc, mult_id,
                     out_dtype=jnp.float32 if use_f32 else jnp.int32)
                 x = jnp.maximum(x, 0)

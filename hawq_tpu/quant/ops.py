@@ -408,6 +408,49 @@ def requant_int32(acc: jnp.ndarray, multiplier: jnp.ndarray,
     return jnp.clip(out, lo, hi).astype(out_dtype)
 
 
+def _assert_x64() -> None:
+    if jnp.zeros((), jnp.float64).dtype != jnp.dtype('float64'):
+        raise RuntimeError(
+            "requant_mode='reference' needs float64: enable jax x64 "
+            "(jax.experimental.enable_x64() context or "
+            "jax.config.update('jax_enable_x64', True)) around both the "
+            "engine build and its calls")
+
+
+def requant_int32_ref(acc: jnp.ndarray, m: jnp.ndarray, inv2e: jnp.ndarray,
+                      num_bits: int, signed: bool,
+                      out_dtype: jnp.dtype = jnp.int8) -> jnp.ndarray:
+    """Reference-exact replay requant (31-bit mantissa, float64).
+
+    ``(m, inv2e)`` come from reference_oracle.decompose_ref — the
+    reference's batch_frexp constants.  Evaluates fixedpoint_fn case 0
+    (quant_utils.py:390-413) exactly: the float64 product acc·m rounds
+    exactly as torch's does (the optimization barrier stops XLA from
+    reassociating it with the exact 2⁻ᵉ factor, which would change which
+    step rounds), then round-half-even, clamp.  Requires jax x64; intended
+    for imported reference checkpoints on CPU — the production TPU path is
+    the native 23-bit mode (TPUs have no f64).
+    """
+    _assert_x64()
+    p = exact(acc.astype(jnp.float64) * m)
+    out = jnp.rint(p * inv2e)
+    lo, hi = requant_clip_bounds(num_bits, signed)
+    return jnp.clip(out, lo, hi).astype(out_dtype)
+
+
+def requant_add_int32_ref(acc: jnp.ndarray, m_acc: jnp.ndarray,
+                          inv2e_acc: jnp.ndarray, identity: jnp.ndarray,
+                          m_id: jnp.ndarray, inv2e_id: jnp.ndarray,
+                          out_dtype: jnp.dtype = jnp.int32) -> jnp.ndarray:
+    """Reference-exact dual-branch residual requant-add (fixedpoint_fn
+    case 1, quant_utils.py:415-456): each branch rounds half-even in f64
+    with its own 31-bit (m, e); the sum is left unclamped."""
+    _assert_x64()
+    a = jnp.rint(exact(acc.astype(jnp.float64) * m_acc) * inv2e_acc)
+    b = jnp.rint(exact(identity.astype(jnp.float64) * m_id) * inv2e_id)
+    return (a + b).astype(out_dtype)
+
+
 def requant_add_int32(acc: jnp.ndarray, acc_multiplier: jnp.ndarray,
                       identity: jnp.ndarray, id_multiplier: jnp.ndarray,
                       out_dtype: jnp.dtype = jnp.int32) -> jnp.ndarray:

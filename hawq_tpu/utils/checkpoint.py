@@ -121,6 +121,138 @@ def load_frozen(path: str) -> FrozenModel:
 
 
 # ---------------------------------------------------------------------------
+# reference quantized-checkpoint import (HAWQ-V3 model zoo -> FrozenModel)
+# ---------------------------------------------------------------------------
+
+_REF_SLICES = ('convbn_scaling_factor', 'fc_scaling_factor',
+               'weight_integer', 'bias_integer', 'act_scaling_factor')
+
+
+def _ref_key(key: str) -> str:
+    """Strip the DataParallel 'module.' prefix the reference saves under."""
+    return key[len('module.'):] if key.startswith('module.') else key
+
+
+def _ref_np(v) -> np.ndarray:
+    """torch tensor or array-like → numpy (torch stays an optional dep)."""
+    if hasattr(v, 'detach'):
+        v = v.detach().cpu().numpy()
+    return np.asarray(v)
+
+
+def _int_exact(v: np.ndarray, dtype, what: str) -> np.ndarray:
+    """Cast integer-valued floats to an integer dtype, verifying exactness
+    and range (the reference stores weight_integer/bias_integer as float
+    buffers holding rounded values, quant_modules.py:360-362)."""
+    f = np.asarray(v, np.float64)
+    r = np.rint(f)
+    if not np.array_equal(r, f):
+        raise ValueError(f'{what}: non-integer values in integer slice')
+    info = np.iinfo(dtype)
+    if r.min() < info.min or r.max() > info.max:
+        raise ValueError(f'{what}: values outside {np.dtype(dtype).name} '
+                         f'range [{r.min()}, {r.max()}]')
+    return r.astype(dtype)
+
+
+def import_reference_quantized(state: Mapping[str, Mapping[str, Any]],
+                               arch: str, cfg: BitConfig,
+                               num_classes: Optional[int] = None
+                               ) -> FrozenModel:
+    """Import the reference's quantized deployment checkpoint → FrozenModel.
+
+    ``state`` is the five-slice dict the reference's validate() dumps as
+    ``quantized_checkpoint.pth.tar`` (/root/reference/quant_train.py:665-670):
+    convbn_scaling_factor, fc_scaling_factor, weight_integer, bias_integer,
+    act_scaling_factor — each mapping ``module.``-prefixed module paths to
+    tensors.  Values may be torch tensors or numpy arrays.
+
+    Tensor wiring mirrors the reference's checkpoint→TVM converter
+    (/root/reference/tvm_benchmark/hawq_utils_resnet50.py):
+      * conv weight_integer OIHW → HWIO (the converter transposes to HWOI
+        for TVM's layout, :121-122; ours is HWIO for lax.conv) as int8
+      * fc weight_integer (O, F) → (F, O) for the engine's dot_general
+      * bias_integer → int32 vectors (:334-368)
+      * convbn/fc_scaling_factor → per-channel f32 weight_scale (:212-219)
+      * act_scaling_factor (1,) buffers → scalar f32 act_scale; the engine
+        rebuilds from_scale chaining / unit-add output scales from these
+        exactly as load_qconfig does (:205-312)
+
+    The returned FrozenModel drives the engine in either numerics mode;
+    pass ``requant_mode='reference'`` to build_resnet_engine to replay with
+    the reference's own 31-bit/f64 rounding.
+    """
+    missing = [s for s in _REF_SLICES if s not in state]
+    if missing:
+        raise ValueError(f'not a reference quantized checkpoint: missing '
+                         f'slices {missing}')
+    tensors: Dict[str, np.ndarray] = {}
+
+    for key, v in state['weight_integer'].items():
+        base = _ref_key(key)[:-len('.weight_integer')]
+        w = _ref_np(v)
+        if w.ndim == 4:                      # conv, torch OIHW
+            w = np.transpose(w, (2, 3, 1, 0))            # → HWIO
+        elif w.ndim == 2:                    # linear, torch (O, F)
+            w = np.transpose(w, (1, 0))                  # → (F, O)
+        else:
+            raise ValueError(f'{key}: unexpected weight rank {w.ndim}')
+        tensors[base + '.weight_int'] = _int_exact(w, np.int8, key)
+
+    for key, v in state['bias_integer'].items():
+        base = _ref_key(key)[:-len('.bias_integer')]
+        tensors[base + '.bias_int'] = _int_exact(
+            _ref_np(v).reshape(-1), np.int32, key)
+
+    for slice_name in ('convbn_scaling_factor', 'fc_scaling_factor'):
+        for key, v in state[slice_name].items():
+            base = _ref_key(key)[:-len('.' + slice_name)]
+            tensors[base + '.weight_scale'] = (
+                _ref_np(v).reshape(-1).astype(np.float32))
+
+    for key, v in state['act_scaling_factor'].items():
+        base = _ref_key(key)[:-len('.act_scaling_factor')]
+        s = _ref_np(v).reshape(-1)
+        tensors[base + '.act_scale'] = np.float32(s[0])
+
+    # completeness check against the arch's graph walk — a missing key here
+    # fails now with a name instead of deep inside the engine build
+    from hawq_tpu.configs.bit_config import resnet_layer_keys, RESNET_UNITS
+    if arch in RESNET_UNITS:
+        need = []
+        for lk in resnet_layer_keys(arch):
+            if 'conv' in lk.rsplit('.', 1)[-1] or lk == 'quant_output':
+                need += [lk + '.weight_int', lk + '.bias_int',
+                         lk + '.weight_scale']
+            else:
+                need.append(lk + '.act_scale')
+        absent = [k for k in need if k not in tensors]
+        if absent:
+            raise ValueError(f'reference checkpoint incomplete for {arch}: '
+                             f'missing {absent[:8]}'
+                             + (' ...' if len(absent) > 8 else ''))
+
+    if num_classes is None:
+        num_classes = int(tensors['quant_output.weight_int'].shape[-1])
+    return FrozenModel(arch=arch, cfg=cfg, tensors=tensors,
+                       num_classes=num_classes)
+
+
+def load_reference_quantized(path: str, arch: str, cfg: BitConfig,
+                             num_classes: Optional[int] = None
+                             ) -> FrozenModel:
+    """Load a reference ``quantized_checkpoint.pth.tar`` from disk.
+
+    Uses torch (CPU) only for unpickling the reference artifact; everything
+    downstream is numpy.  weights_only=False is required — the artifact is
+    a plain pickled dict of tensors from a trusted-by-assumption source.
+    """
+    import torch
+    state = torch.load(path, map_location='cpu', weights_only=False)
+    return import_reference_quantized(state, arch, cfg, num_classes)
+
+
+# ---------------------------------------------------------------------------
 # float weight import (torch model zoo -> QResNet params)
 # ---------------------------------------------------------------------------
 
