@@ -60,11 +60,17 @@ def global_batch_from_host_shards(mesh, host_batch: Mapping[str, np.ndarray]
     return out
 
 
-def psum_metrics(metrics: Mapping[str, jax.Array]) -> Mapping[str, float]:
-    """Average scalar metrics across processes (eval aggregation).
+def psum_metrics(metrics: Mapping[str, jax.Array],
+                 count: float = 1.0) -> Mapping[str, float]:
+    """Weighted average of scalar metrics across processes (eval
+    aggregation).
 
-    Uses a tiny jitted psum over the global device set; single-host it is
-    the identity.
+    ``count`` is this host's sample weight — the number of examples behind
+    its metric means.  An unweighted mean of host means mis-weights uneven
+    final eval batches (host A evaluating 1000 samples and host B 8 would
+    count equally); passing per-host counts gives the true global mean
+    Σ count·metric / Σ count.  Uses a tiny jitted reduction over the global
+    device set; single-host it is the identity.
     """
     if jax.process_count() == 1:
         return {k: float(v) for k, v in metrics.items()}
@@ -74,11 +80,16 @@ def psum_metrics(metrics: Mapping[str, jax.Array]) -> Mapping[str, float]:
     mesh = Mesh(devices, ('d',))
     sharding = NamedSharding(mesh, P('d'))
 
-    vals = np.array([[float(v) for v in metrics.values()]] * 1, np.float32)
+    c = float(count)
+    vals = np.array([[float(v) * c for v in metrics.values()] + [c]],
+                    np.float32)
     local = np.repeat(vals, len(jax.local_devices()), axis=0)
     arr = jax.make_array_from_process_local_data(
-        sharding, local, (len(devices), len(metrics)))
-    mean = jax.jit(lambda a: jnp.mean(a, axis=0),
-                   out_shardings=NamedSharding(mesh, P()))(arr)
-    out = np.asarray(mean)
-    return {k: float(out[i]) for i, k in enumerate(metrics)}
+        sharding, local, (len(devices), len(metrics) + 1))
+    # per-device rows repeat each host's weighted row; the repeat factor
+    # cancels in the ratio (assuming equal local device counts per host)
+    total = jax.jit(lambda a: jnp.sum(a, axis=0),
+                    out_shardings=NamedSharding(mesh, P()))(arr)
+    out = np.asarray(total)
+    denom = max(float(out[-1]), 1e-12)
+    return {k: float(out[i]) / denom for i, k in enumerate(metrics)}

@@ -46,9 +46,16 @@ class DynamicBatcher:
                  image_shape: Tuple[int, int, int],
                  max_delay_ms: float = 5.0, depth: int = 2,
                  image_dtype=np.float32,
-                 host_transform: Optional[Callable] = None):
+                 host_transform: Optional[Callable] = None,
+                 to_device: Optional[Callable] = None,
+                 fetch: Optional[Callable] = None):
         self.infer_fn = infer_fn
         self.host_transform = host_transform   # e.g. preproc+quantize+fold
+        # multi-host hooks (ServingEngine wires them): to_device assembles
+        # the host-local batch into the globally-sharded array, fetch pulls
+        # back only this host's logit rows
+        self.to_device = to_device if to_device is not None else jnp.asarray
+        self.fetch = fetch if fetch is not None else np.asarray
         self.batch_size = batch_size
         self.image_shape = image_shape
         self.image_dtype = image_dtype
@@ -101,7 +108,7 @@ class DynamicBatcher:
                 # production data plane: preprocess/quantize/fold on host
                 # (csrc/hawq_preproc.cpp) while the device runs batch i-1
                 arr = self.host_transform(arr)
-            x = jnp.asarray(arr)
+            x = self.to_device(arr)
             out = self.infer_fn(x)                        # async dispatch
             self._inflight.put((out, slots, n_real))
 
@@ -111,7 +118,7 @@ class DynamicBatcher:
                 out, slots, n_real = self._inflight.get(timeout=0.1)
             except queue.Empty:
                 continue
-            logits = np.asarray(out)                      # sync: fetch logits
+            logits = self.fetch(out)                      # sync: fetch logits
             for i, slot in enumerate(slots[:n_real]):
                 slot.put(logits[i])
 
@@ -133,7 +140,12 @@ class ServingEngine:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
         self.mesh = pmesh.make_mesh(n_data=len(devices), n_model=1,
                                     devices=devices)
-        self.batch_size = batch_size
+        self.batch_size = batch_size                       # global batch
+        # each host's batcher/loader fills 1/process_count of the global
+        # batch (quant_train.py:330-331's per-GPU split, host-granular)
+        assert batch_size % jax.process_count() == 0, \
+            (batch_size, jax.process_count())
+        self.host_batch = batch_size // jax.process_count()
         self.image_shape = image_shape
         self.image_dtype = image_dtype
         self._sharding = pmesh.batch_sharding(self.mesh)
@@ -148,11 +160,39 @@ class ServingEngine:
                              in_shardings=self._sharding,
                              out_shardings=self._sharding)
 
+    # -- multi-host data plane ------------------------------------------
+    def _to_device(self, arr: np.ndarray):
+        """Host-local batch → globally-'data'-sharded jax.Array."""
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        global_shape = (arr.shape[0] * jax.process_count(), *arr.shape[1:])
+        return jax.make_array_from_process_local_data(
+            self._sharding, arr, global_shape)
+
+    def _fetch_local(self, out) -> np.ndarray:
+        """This host's rows of the 'data'-sharded logits (they correspond
+        1:1, in order, to the rows this host's batcher submitted)."""
+        if jax.process_count() == 1:
+            return np.asarray(out)
+        shards = sorted(out.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def batcher(self, max_delay_ms: float = 5.0, depth: int = 2
                 ) -> DynamicBatcher:
-        return DynamicBatcher(self.infer, self.batch_size, self.image_shape,
+        """Continuous batcher for this host's request stream.
+
+        Multi-host caveat: a dispatch is a *collective* — every host's
+        batcher must dispatch the same number of batches (the jit over the
+        global mesh blocks until all hosts contribute their shard).  Hosts
+        under a shared load balancer tick in lockstep by construction; a
+        host with no traffic must submit padding to keep the tick going.
+        """
+        return DynamicBatcher(self.infer, self.host_batch, self.image_shape,
                               max_delay_ms, depth, self.image_dtype,
-                              host_transform=self.host_transform)
+                              host_transform=self.host_transform,
+                              to_device=self._to_device,
+                              fetch=self._fetch_local)
 
     def throughput(self, n_batches: int = 16) -> float:
         """images/sec, measured with the in-jit loop chain (bench.py)."""
@@ -160,13 +200,15 @@ class ServingEngine:
         del n_batches  # adaptive iteration count
         rng = np.random.RandomState(0)
         if np.issubdtype(np.dtype(self.image_dtype), np.integer):
-            host = rng.randint(0, 256, (self.batch_size, *self.image_shape)
+            host = rng.randint(0, 256, (self.host_batch, *self.image_shape)
                                ).astype(self.image_dtype)
         else:
-            host = rng.rand(self.batch_size, *self.image_shape).astype(
+            host = rng.rand(self.host_batch, *self.image_shape).astype(
                 self.image_dtype)
         if self.host_transform is not None:
             host = self.host_transform(host)
-        x = jax.device_put(jnp.asarray(host), self._sharding)
+        x = self._to_device(np.asarray(host))
+        if jax.process_count() == 1:
+            x = jax.device_put(x, self._sharding)
         t = time_per_iter(self.infer, x)
         return self.batch_size / t
