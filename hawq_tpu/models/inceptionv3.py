@@ -310,6 +310,7 @@ class QInceptionV3(nn.Module):
     cfg: Optional[BitConfig] = None
     num_classes: int = 1000
     width_div: int = 1
+    dropout_rate: float = 0.5       # reference head default (q_inceptionv3.py:681)
 
     @nn.compact
     def __call__(self, x, *, folded: bool = True, update_stats: bool = False):
@@ -346,6 +347,10 @@ class QInceptionV3(nn.Module):
         x, a_sf = _qact(cfg, 'features.q_concat_activ', 'q_concat_activ')(
             x, a_sf, update_stats=update_stats)
         x = x.reshape(x.shape[0], -1)
+        # head dropout (q_inceptionv3.py:727): scale passthrough, active only
+        # when the caller supplies a 'dropout' rng (the QAT train step)
+        x, a_sf = L.QuantDropout(rate=self.dropout_rate,
+                                 name='q_dropout')(x, a_sf)
         x = L.QuantLinear(features=self.num_classes,
                           weight_bit=cfg.weight_bits('output.q_fc'),
                           bias_bit=cfg.settings.bias_bit,

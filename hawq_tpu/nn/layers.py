@@ -531,7 +531,14 @@ class QuantDropout(nn.Module):
     rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, scale, *, deterministic: bool = True):
+    def __call__(self, x, scale, *, deterministic: Optional[bool] = None):
+        """deterministic=None (the default) keys off rng availability: the
+        layer drops only when the caller provided a 'dropout' rng (the train
+        step does, eval/calibration/engine don't) — so wiring it into a
+        model changes no call signatures, mirroring the reference where
+        nn.Dropout keys off module.training."""
+        if deterministic is None:
+            deterministic = not self.has_rng('dropout')
         if self.rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.rate, deterministic=False)(x)
         return x, scale

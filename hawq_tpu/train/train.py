@@ -102,7 +102,8 @@ def _mesh_jit(fn, mesh, donate_argnums=()):
 
 def make_train_step(model, *, folded: bool,
                     distill_alpha: Optional[float] = None,
-                    temperature: float = 6.0, mesh=None) -> Callable:
+                    temperature: float = 6.0, mesh=None,
+                    rng_seed: int = 0) -> Callable:
     """Build the jitted QAT train step.
 
     ``folded`` selects the BN mode statically (two compiled versions; the
@@ -115,12 +116,20 @@ def make_train_step(model, *, folded: bool,
     """
 
     def train_step(state: TrainState, batch: Mapping) -> Tuple[TrainState, Mapping]:
+        # per-step dropout key, derived from the step counter: deterministic,
+        # resume-stable, and identical on every replica (the mask is computed
+        # on the logical global batch under GSPMD).  Models without dropout
+        # simply never draw from it.
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                         state.step)
+
         def loss_fn(params):
             logits, mut = model.apply(
                 {'params': params, 'quant_stats': state.quant_stats,
                  'batch_stats': state.batch_stats},
                 batch['image'], folded=folded, update_stats=True,
-                mutable=['quant_stats', 'batch_stats'])
+                mutable=['quant_stats', 'batch_stats'],
+                rngs={'dropout': dropout_rng})
             if distill_alpha is not None:
                 loss = kd_loss(logits, batch['teacher_logits'], batch['label'],
                                distill_alpha, temperature)

@@ -375,7 +375,7 @@ class Trainer:
         step_fn = make_train_step(self.model, folded=folded,
                                   distill_alpha=cfg.distill_alpha,
                                   temperature=cfg.temperature,
-                                  mesh=self.mesh)
+                                  mesh=self.mesh, rng_seed=cfg.seed)
         # mid-epoch evaluation (train_kd evaluate_times,
         # quant_train.py:591-610)
         eval_every = None
@@ -414,18 +414,22 @@ class Trainer:
         from hawq_tpu.parallel.distributed import psum_metrics
         eval_fn = make_eval_step(self.model, mesh=self.mesh)
         variables = self.state.variables()
-        tops, n = 0.0, 0
+        tops, n, n_samples = 0.0, 0, 0
         for i, batch in enumerate(_batches(self.cfg, False, epoch=0)):
             if self.cfg.eval_batches and i >= self.cfg.eval_batches:
                 break
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in ('image', 'label')}
+            bsz = int(batch['label'].shape[0])
             batch = self._global_batch(batch)
             out = eval_fn(variables, batch)
-            tops += float(out['top1'])
+            tops += float(out['top1']) * bsz
             n += 1
-        # cross-host aggregation (uneven tails): psum-average the host means
-        agg = psum_metrics({'top1': tops / max(n, 1)})
+            n_samples += bsz
+        # cross-host aggregation weighted by per-host sample counts, so
+        # uneven final batches don't skew the global mean
+        agg = psum_metrics({'top1': tops / max(n_samples, 1)},
+                           count=n_samples)
         acc = agg['top1']
         self.log.info('eval top-1 %.4f (%d batches)', acc, n)
         return acc
