@@ -14,6 +14,10 @@ engine's logits bit-for-bit (the exporter's correctness test).
 Dialect (domain 'hawq2qonnx', mirroring the reference's custom domain):
   Quant(x, scale)        attrs bitwidth, signed     → clip(round_half_up(x/scale))
                          (integer-valued output; the input-quantization node)
+  BipolarQuant(x, scale)                             → where(x ≥ 0, 1, −1)
+                         (1-bit binary quantizer, value = q·scale; emitted by
+                         quant_node for bitwidth 1 — reference
+                         function.py:37-50, 127-130)
   Requant(x, mult)       attrs bits, signed, relu   → clip(floor(x·mult + 0.5))
                          (the dyadic requant; mult = m·2⁻ᵉ exact f32)
   RequantAdd(a, ma, b, mb)                           → ⌊a·ma+0.5⌋ + ⌊b·mb+0.5⌋
@@ -53,6 +57,20 @@ from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.export import onnx_subset_pb2 as P
 
 QDOMAIN = 'hawq2qonnx'
+
+
+def quant_node(b: '_Builder', x: str, scale: str, bitwidth: int,
+               signed: int = 1) -> str:
+    """Emit the bit-appropriate quantizer: BipolarQuant for 1-bit, Quant
+    otherwise — mirroring the reference's get_quant_func dispatch
+    (/root/reference/utils/export/function.py:127-130).  BipolarQuant(x,
+    scale) produces integer values in {−1, +1} (value = q·scale), the
+    QONNX binary-network quantizer; no published HAWQ config uses 1-bit,
+    but the dialect is complete with it."""
+    if bitwidth == 1:
+        return b.node('BipolarQuant', [x, scale], domain=QDOMAIN)
+    return b.node('Quant', [x, scale], domain=QDOMAIN, bitwidth=bitwidth,
+                  signed=signed)
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +242,7 @@ def export_qonnx_resnet(fm: FrozenModel, path: str, image_size: int = 224
 
     s_in, _, _ = act_info('quant_input')
     si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
-    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+    x = quant_node(b, 'image', si, bitwidth=8, signed=1)
 
     # init block
     w_scale = fm[init_key + '.weight_scale'].astype(np.float32)
@@ -342,7 +360,7 @@ def export_qonnx_mobilenetv2(fm: FrozenModel, path: str, stages,
 
     s_in = float(fm.act_scale('quant_input'))
     si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
-    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+    x = quant_node(b, 'image', si, bitwidth=8, signed=1)
 
     acc, w = ctx.conv(x, 'init_block', (2, 2), (1, 1, 1, 1))
     acc_scale = (fm['init_block.weight_scale'].astype(np.float32)
@@ -459,8 +477,7 @@ def export_qonnx_inceptionv3(fm: FrozenModel, path: str, width_div: int = 1,
     ip = 'features.q_init_block'
     s_in, b_in, _ = ctx.act_info(f'{ip}.q_input_activ')
     si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
-    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=b_in,
-               signed=1)
+    x = quant_node(b, 'image', si, bitwidth=b_in, signed=1)
     s = np.float32(s_in)
     strides = {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
     pads = {1: 0, 2: 0, 3: 1, 4: 0, 5: 0}
@@ -554,7 +571,7 @@ def export_qonnx_resnet_v2(fm: FrozenModel, path: str, image_size: int = 224
 
     s_in, _, _ = ctx.act_info('quant_input')
     si = b.init_tensor('input.scale', np.float32(s_in).reshape(1))
-    x = b.node('Quant', ['image', si], domain=QDOMAIN, bitwidth=8, signed=1)
+    x = quant_node(b, 'image', si, bitwidth=8, signed=1)
 
     acc, _ = ctx.conv(x, 'quant_init_conv', (2, 2), (3, 3, 3, 3))
     acc = b.node('Relu', [acc])
@@ -623,8 +640,7 @@ def export_qonnx_resnet_v2(fm: FrozenModel, path: str, image_size: int = 224
     ps = b.init_tensor('head.prev_scale', np.float32(prev_scale).reshape(1))
     x = b.node('Mul', [x, ps])
     sfc = b.init_tensor('head.scale', np.float32(s_fc).reshape(1))
-    f8 = b.node('Quant', [x, sfc], domain=QDOMAIN, bitwidth=b_fc,
-                signed=int(sg_fc))
+    f8 = quant_node(b, x, sfc, bitwidth=b_fc, signed=int(sg_fc))
 
     wfc = b.init_tensor('quant_output.weight',
                         np.asarray(fm['quant_output.weight_int'], np.int8))
@@ -751,6 +767,9 @@ def replay_qonnx(model, image: np.ndarray) -> np.ndarray:
                          + np.float32(0.5))
             hi = 2 ** (at['bitwidth'] - 1) - 1
             out = np.clip(q, -hi - 1, hi).astype(np.int64)
+        elif op == 'BipolarQuant':
+            x, scale = ins          # integer output in {-1,+1}; value = q·scale
+            out = np.where(x >= 0, 1, -1).astype(np.int64)
         elif op == 'Conv':
             out = _conv_int(ins[0], ins[1], ins[2], at['strides'],
                             at['pads'], at.get('group', 1))

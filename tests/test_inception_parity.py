@@ -83,3 +83,54 @@ def test_inception_per_unit_golden_featuremaps():
                          ['q_int'][0])
         np.testing.assert_array_equal(qat, eng.astype(np.float64),
                                       err_msg=node)
+
+
+def test_head_dropout_active_only_with_rng():
+    """QuantDropout in the head (q_inceptionv3.py:727): drops (and rescales
+    by 1/(1-p)) only when a 'dropout' rng is supplied — the QAT train step's
+    mode — and is the exact identity for eval/calibration/engine calls."""
+    cfg = BitConfig(name='incept_tiny_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=WIDTH_DIV,
+                         dropout_rate=0.5)
+    x = jnp.asarray(np.random.RandomState(1)
+                    .randn(2, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+
+    eval1 = model.apply(v, x, folded=True, update_stats=False)
+    eval2 = model.apply(v, x, folded=True, update_stats=False)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+
+    tr1, _ = model.apply(v, x, folded=True, update_stats=True,
+                         mutable=['quant_stats', 'batch_stats'],
+                         rngs={'dropout': jax.random.PRNGKey(1)})
+    tr2, _ = model.apply(v, x, folded=True, update_stats=True,
+                         mutable=['quant_stats', 'batch_stats'],
+                         rngs={'dropout': jax.random.PRNGKey(2)})
+    assert not np.array_equal(np.asarray(tr1), np.asarray(tr2)), \
+        'different dropout keys must give different logits'
+    assert not np.array_equal(np.asarray(tr1), np.asarray(eval1)), \
+        'train-mode dropout must differ from the deterministic path'
+
+
+@pytest.mark.slow
+def test_qat_train_step_with_dropout():
+    """One jitted QAT train step through make_train_step on the inception
+    head: the step supplies the per-step dropout rng; loss finite and
+    params move."""
+    import optax
+    from hawq_tpu.train.train import TrainState, make_train_step
+
+    cfg = BitConfig(name='incept_tiny_u8', table={}, settings=QuantSettings())
+    model = QInceptionV3(cfg=cfg, num_classes=8, width_div=WIDTH_DIV,
+                         dropout_rate=0.5)
+    x = jnp.asarray(np.random.RandomState(2)
+                    .randn(2, 96, 96, 3).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, folded=True, update_stats=True)
+    state = TrainState.create(v, optax.sgd(1e-2))
+    step = make_train_step(model, folded=True, rng_seed=3)
+    batch = {'image': x, 'label': jnp.asarray(np.array([1, 4]))}
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    moved = jax.tree.map(lambda a, b: not np.array_equal(a, b),
+                         state.params, new_state.params)
+    assert any(jax.tree.leaves(moved)), 'params did not update'

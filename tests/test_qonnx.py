@@ -205,3 +205,43 @@ def test_replay_rejects_unknown_op(tmp_path):
     m.graph.node[3].op_type = 'Bogus'
     with pytest.raises(NotImplementedError):
         qonnx.replay_qonnx(m, np.asarray(x))
+
+
+def test_bipolar_quant_roundtrip(tmp_path):
+    """BipolarQuant (reference function.py:37-50): quant_node emits it for
+    bitwidth 1; the serialized graph round-trips and replays as the binary
+    quantizer q = where(x >= 0, 1, -1), value = q * scale."""
+    from hawq_tpu.export.qonnx import _Builder, quant_node
+
+    rng = np.random.RandomState(0)
+    w = rng.randint(-7, 8, (1, 1, 8, 4)).astype(np.int8)
+    bias = rng.randint(-5, 6, (4,)).astype(np.int32)
+
+    b = _Builder('bipolar_test')
+    b.io(b.g.input, 'image', ('N', 4, 4, 8))
+    si = b.init_tensor('input.scale', np.float32(0.1).reshape(1))
+    x = quant_node(b, 'image', si, bitwidth=1)
+    node = b.g.node[-1]
+    assert node.op_type == 'BipolarQuant' and node.domain == 'hawq2qonnx'
+    # and a non-1 bitwidth still routes to Quant
+    _ = quant_node(b, 'image', si, bitwidth=8)
+    assert b.g.node[-1].op_type == 'Quant'
+    del b.g.node[-1]
+
+    wi = b.init_tensor('conv.weight', w)
+    bi = b.init_tensor('conv.bias', bias)
+    y = b.node('Conv', [x, wi, bi], strides=(1, 1), pads=(0, 0, 0, 0),
+               group=1)
+    b.io(b.g.output, y, ('N', 4, 4, 4))
+    path = str(tmp_path / 'bipolar.onnx')
+    with open(path, 'wb') as f:
+        f.write(b.model.SerializeToString())
+
+    images = rng.randn(2, 4, 4, 8).astype(np.float32)
+    m = qonnx.load_qonnx(path)
+    got = qonnx.replay_qonnx(m, images)
+
+    q = np.where(images >= 0, 1, -1).astype(np.int64)
+    want = np.einsum('bhwc,co->bhwo', q,
+                     w.reshape(8, 4).astype(np.int64)) + bias
+    np.testing.assert_array_equal(got, want)
