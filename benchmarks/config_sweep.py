@@ -50,6 +50,11 @@ def main():
     ap.add_argument('--batch', type=int, default=8)
     ap.add_argument('--schemes', default=None,
                     help='comma list; default = all 11')
+    ap.add_argument('--input-mode', default='folded_float32',
+                    choices=['float32', 'folded_float32'],
+                    help='production default folds 4x4 pixel blocks on the '
+                         'host (inference/fold.py) — the headline input '
+                         'path; float32 reproduces the round-2 sweep')
     ap.add_argument('--out', default=None)
     args = ap.parse_args()
 
@@ -62,11 +67,19 @@ def main():
 
     schemes = (args.schemes.split(',') if args.schemes else SCHEMES)
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    raw = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
+    x = jnp.asarray(raw)
+    folded = args.input_mode == 'folded_float32'
+    if folded:
+        from hawq_tpu.inference.fold import fold4_images
+        x_prod = jnp.asarray(fold4_images(raw))
+    else:
+        x_prod = x
 
+    suffix = '_folded' if folded else ''
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f'config_sweep_{args.arch}_b{args.batch}.json')
+        f'config_sweep_{args.arch}_b{args.batch}{suffix}.json')
     results = {}
     if os.path.exists(out_path):        # resumable across TPU sessions
         results = json.load(open(out_path))
@@ -80,12 +93,15 @@ def main():
 
         baseline = build_resnet_engine(fm)                      # plain XLA
         # production config per benchmarks/engine_variants.py on v5e:
-        # int16 residual carry, XLA convs, no s2d init (s2d measured slower)
-        prod = build_resnet_engine(fm, residual_dtype=jnp.int16)
+        # int16 residual carry, XLA convs, host-folded input (the headline
+        # path — docs/perf_tpu.md), no s2d init (measured slower)
+        prod = build_resnet_engine(
+            fm, residual_dtype=jnp.int16,
+            input_mode='folded_float32' if folded else 'float32')
         a = np.asarray(baseline(x))
-        b = np.asarray(prod(x))
+        b = np.asarray(prod(x_prod))
         match = bool(np.array_equal(a, b))
-        t = time_per_iter(prod, x)
+        t = time_per_iter(prod, x_prod)
         entry = {
             'latency_ms': t * 1e3,
             'images_per_s': args.batch / t,

@@ -139,6 +139,11 @@ def _requant_add(acc: jnp.ndarray, mult_main, identity: jnp.ndarray,
 
 ACC_EXACT_F32_BOUND = 2.0 ** 24
 
+# Largest batch at which the residual-add → next-unit-input requant fusion is
+# applied by default (measured crossover on v5e: wins at b1–b16, loses at
+# b32/b64 — benchmarks/residual_fusion_b8_b64.json).
+FUSE_UNIT_INPUT_MAX_BATCH = 16
+
 
 def conv_acc_bound(w_int: np.ndarray, bias_int: np.ndarray,
                    amax: float) -> float:
@@ -216,7 +221,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         input_mean: np.ndarray = IMAGENET_MEAN,
                         input_std: np.ndarray = IMAGENET_STD,
                         conv_mode: str = 'int8',
-                        requant_mode: str = 'native'):
+                        requant_mode: str = 'native',
+                        fuse_unit_input: Optional[bool] = None):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
@@ -519,16 +525,27 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         emit_int('init', x16)
 
         x = x16
-        for si, n_units in enumerate(RESNET_UNITS[arch], start=1):
-            for u in range(1, n_units + 1):
+        units = [(si, u) for si, n_units in
+                 enumerate(RESNET_UNITS[arch], start=1)
+                 for u in range(1, n_units + 1)]
+        xa_fused = None       # next-unit input emitted at the producer site
+        for ui, (si, u) in enumerate(units):
                 p = f'stage{si}.unit{u}'
                 stride = 2 if (u == 1 and si > 1) else 1
                 has_id_conv = f'{p}.quant_identity_convbn.weight_int' in fm.tensors
 
-                # unit input requant: prev 16-bit int32 → unit act bits
+                # unit input requant: prev 16-bit int32 → unit act bits.
+                # For units after the first this was already computed fused
+                # into the previous unit's residual-add epilogue (one pass
+                # over the sum emits both the carrier and this int8 input —
+                # saves a full carrier read per unit; the stage1 carrier is
+                # 103 MB at b64, docs/perf_tpu.md).
                 sa, ba, signed_a = act_info(f'{p}.quant_act')
-                mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
-                xa = _requant(x, mult, ba, signed_a, act_dt)
+                if xa_fused is not None:
+                    xa = xa_fused
+                else:
+                    mult = plan.requant_mult(f'{p}.in', prev_scale, sa)
+                    xa = _requant(x, mult, ba, signed_a, act_dt)
                 emit_int(f'{p}.input', xa)
                 amax_a = act_amax(ba, signed_a)
 
@@ -647,18 +664,41 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                 # keep the unclamped sum in a wide container (f32/int32) so
                 # the clamp below sees the true value — narrowing first would
                 # make out-of-range sums implementation-defined
-                x = _requant_add(
+                x_wide = _requant_add(
                     acc, mult_main, id_acc, mult_id,
                     out_dtype=jnp.float32 if use_f32 else jnp.int32)
-                x = jnp.maximum(x, 0)
+                x_wide = jnp.maximum(x_wide, 0)
                 if residual_dtype != jnp.int32:
                     # halved inter-unit traffic; clamps the (rare) residual
                     # sums above 2^15-1 — the 16-bit behavior the bit configs
                     # nominally declare for these nodes
-                    x = jnp.clip(x, 0, jnp.iinfo(residual_dtype).max)
-                x = x.astype(res_dt)
+                    x_wide = jnp.clip(x_wide, 0,
+                                      jnp.iinfo(residual_dtype).max)
+                x = x_wide.astype(res_dt)
                 prev_scale = np.float32(s_out)
                 emit_int(f'{p}.quant_act_int32', x)
+
+                # fused emission of the NEXT unit's int8 input: bit-identical
+                # to requantizing the written carrier (same clipped values,
+                # dtype round-trip exact), but XLA's multi-output fusion
+                # computes it in the same pass — the carrier is then read at
+                # most once more (the non-resize identity add), and not at
+                # all before a resize unit (DCE removes the dead write).
+                # Measured on v5e (benchmarks/residual_fusion_b8_b64.json):
+                # wins at small batch (b8 0.666→0.637 ms) but LOSES at b64
+                # (5.12→6.68 ms — the extra fusion output stops XLA from
+                # folding the add epilogue into the conv, materializing the
+                # int32 accumulator), so it is trace-time batch-gated.
+                fuse = (fuse_unit_input if fuse_unit_input is not None
+                        else images.shape[0] <= FUSE_UNIT_INPUT_MAX_BATCH)
+                if fuse and ui + 1 < len(units):
+                    nsi, nu = units[ui + 1]
+                    np_ = f'stage{nsi}.unit{nu}'
+                    nsa, nba, nsigned = act_info(f'{np_}.quant_act')
+                    nmult = plan.requant_mult(f'{np_}.in', prev_scale, nsa)
+                    xa_fused = _requant(x_wide, nmult, nba, nsigned, act_dt)
+                else:
+                    xa_fused = None
 
         # ---- head ----
         # integer global average pool with truncation (quant_modules.py:557-602)
