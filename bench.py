@@ -191,11 +191,15 @@ def main():
         result['bf16_ms_per_batch'] = round(t_bf16 * 1e3, 3)
         result['speedup_vs_bf16'] = round(t_bf16 / t_int8, 3)
         result['w4a4_speedup_vs_bf16'] = round(t_bf16 / t_int4, 3)
-        # batch-64 serving-throughput point (all-XLA routing wins there —
-        # benchmarks/routing_resnet50_uniform4_b64.json)
-        x64 = rng.rand(64, 224, 224, 3).astype(np.float32)
-        xf64 = jnp.asarray(fold4_images(x64))
-        t_int8_b64 = time_per_iter(engine, xf64)
+        # batch-64 serving-throughput point: the measured-best b64 route is
+        # the DIRECT uint8 input (the host fold wins at b≤16 but loses at
+        # b64 — benchmarks/input_mode_b64.json) with all-XLA routing
+        # (routing_resnet50_uniform4_b64.json)
+        eng64 = build_resnet_engine(fm, residual_dtype=jnp.int16,
+                                    input_mode='uint8')
+        x64u = jnp.asarray(rng.randint(0, 256, (64, 224, 224, 3))
+                           .astype(np.uint8))
+        t_int8_b64 = time_per_iter(eng64, x64u)
         result['int8_ms_batch64'] = round(t_int8_b64 * 1e3, 3)
         result['int8_images_per_sec_batch64'] = round(64 / t_int8_b64, 1)
     except Exception as e:          # noqa: BLE001 — extras must not fail the run

@@ -500,7 +500,11 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             mult = plan.requant_mult('init_requant', np.tile(s_init, 4), s16)
             x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
-            x16 = _fold.depth_to_space_2x2(x16)
+            # maxpool directly in the folded layout (fold.py): bit-exact
+            # equal to depth_to_space + reduce_window, without the 2×
+            # intermediate — reduce_window on the unfolded int16 tensor
+            # measured ~12× off the BW roofline at b64 (1.94 ms vs 0.35)
+            x16 = _fold.maxpool_3x3s2p1_folded(x16)
         else:
             if cifar:
                 # CIFAR init: 3×3/s1/pad1, no maxpool
@@ -519,7 +523,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             mult = plan.requant_mult('init_requant', s_init, s16)
             x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
-        if not cifar:
+        if not cifar and not folded:     # folded path pooled in-layout above
             x16 = _maxpool_int(x16, (3, 3), (2, 2), ((1, 1), (1, 1)))
         prev_scale = np.float32(s16)
         emit_int('init', x16)

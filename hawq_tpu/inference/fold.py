@@ -139,6 +139,45 @@ def fold4_kernel_3x3s2(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(out.reshape(2, 2, 16 * c, 4 * n))
 
 
+def maxpool_3x3s2p1_folded(xf):
+    """3×3/stride-2/pad-1 max-pool of the depth-to-space image, computed
+    directly in the folded (2, 2, N) channel layout.
+
+    Input: the folded init-conv output (B, Hq, Wq, 4N), channel layout
+    (py, px, n) — logical pixel (2a+py, 2b+px) lives at xf[a, b, py, px].
+    Pool output row i reads logical rows {2i−1, 2i, 2i+1} =
+    {(a=i−1, py=1), (a=i, py=0), (a=i, py=1)} (same for columns), so the
+    pool is nine shifted elementwise maxes over the block slices and the
+    output grid (B, Hq, Wq, N) **is** the folded grid: no depth-to-space,
+    no 2×-larger intermediate.  Bit-exact vs depth_to_space_2x2 +
+    reduce_window (tests/test_fold.py); measured 5.5× faster at batch 64
+    on v5e, where reduce_window on the int16 112² tensor lowers ~12× off
+    the bandwidth roofline (benchmarks/residual_fusion_b8_b64.json notes).
+    """
+    import jax.numpy as jnp
+    b, hq, wq, n4 = xf.shape
+    n = n4 // 4
+    blk = {(py, px): xf[..., (2 * py + px) * n:(2 * py + px + 1) * n]
+           for py in (0, 1) for px in (0, 1)}
+    if jnp.issubdtype(xf.dtype, jnp.floating):
+        neg = jnp.asarray(-jnp.inf, xf.dtype)
+    else:
+        neg = jnp.asarray(jnp.iinfo(xf.dtype).min, xf.dtype)
+
+    def up(t):      # t[i-1, j]; row −1 is the pool's zero-pad → identity min
+        return jnp.pad(t[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)),
+                       constant_values=neg)
+
+    def left(t):    # t[i, j-1]
+        return jnp.pad(t[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)),
+                       constant_values=neg)
+
+    rm = {px: jnp.maximum(jnp.maximum(up(blk[(1, px)]), blk[(0, px)]),
+                          blk[(1, px)])
+          for px in (0, 1)}
+    return jnp.maximum(jnp.maximum(left(rm[1]), rm[0]), rm[1])
+
+
 def depth_to_space_2x2(acc):
     """(B, H/4, W/4, 4N) folded conv output → (B, H/2, W/2, N).
 

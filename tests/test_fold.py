@@ -187,3 +187,23 @@ def test_inception_folded_init_bit_exact():
                                      input_mode='folded_float32',
                                      input_hw=(96, 96))
     np.testing.assert_array_equal(np.asarray(eng_f(xf)), direct)
+
+
+def test_maxpool_folded_layout_bit_exact():
+    """maxpool_3x3s2p1_folded == depth_to_space_2x2 + reduce_window pool,
+    on int16 and float32, including negative values (no relu assumption)."""
+    import jax
+    import jax.numpy as jnp
+    from hawq_tpu.inference.fold import (depth_to_space_2x2,
+                                         maxpool_3x3s2p1_folded)
+    from hawq_tpu.inference.engine import _maxpool_int
+
+    rng = np.random.RandomState(0)
+    for dtype in (np.int16, np.float32):
+        xf = rng.randint(-2 ** 14, 2 ** 14, (2, 7, 9, 4 * 5)).astype(dtype)
+        want = np.asarray(_maxpool_int(
+            jnp.asarray(depth_to_space_2x2(xf)), (3, 3), (2, 2),
+            ((1, 1), (1, 1))))
+        got = np.asarray(jax.jit(maxpool_3x3s2p1_folded)(jnp.asarray(xf)))
+        assert got.shape == want.shape == (2, 7, 9, 5)
+        np.testing.assert_array_equal(got, want, err_msg=str(dtype))
