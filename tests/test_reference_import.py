@@ -80,16 +80,20 @@ def frozen():
                                    num_classes=NCLS, seed=7)
 
 
-def test_roundtrip_through_reference_format(frozen, tmp_path):
-    """FrozenModel -> pth.tar five-slice dict -> importer == identity."""
-    state = to_reference_state(frozen)
+@pytest.mark.parametrize('arch', ['tiny50', 'tiny18'])
+def test_roundtrip_through_reference_format(arch, tmp_path):
+    """FrozenModel -> pth.tar five-slice dict -> importer == identity
+    (bottleneck and basic-block families)."""
+    src = synthetic_frozen_resnet(arch, get_bit_config(arch, 'uniform8'),
+                                  num_classes=NCLS, seed=7)
+    state = to_reference_state(src)
     path = str(tmp_path / 'quantized_checkpoint.pth.tar')
     torch.save(state, path)
-    fm2 = ckpt.load_reference_quantized(path, ARCH,
-                                        get_bit_config(ARCH, 'uniform8'))
+    fm2 = ckpt.load_reference_quantized(path, arch,
+                                        get_bit_config(arch, 'uniform8'))
     assert fm2.num_classes == NCLS
-    assert set(fm2.tensors) == set(frozen.tensors)
-    for k, v in frozen.tensors.items():
+    assert set(fm2.tensors) == set(src.tensors)
+    for k, v in src.tensors.items():
         got = fm2.tensors[k]
         assert np.asarray(got).dtype == np.asarray(v).dtype, k
         np.testing.assert_array_equal(np.asarray(got), np.asarray(v), err_msg=k)
