@@ -157,8 +157,6 @@ def maxpool_3x3s2p1_folded(xf):
     import jax.numpy as jnp
     b, hq, wq, n4 = xf.shape
     n = n4 // 4
-    blk = {(py, px): xf[..., (2 * py + px) * n:(2 * py + px + 1) * n]
-           for py in (0, 1) for px in (0, 1)}
     if jnp.issubdtype(xf.dtype, jnp.floating):
         neg = jnp.asarray(-jnp.inf, xf.dtype)
     else:
@@ -172,10 +170,15 @@ def maxpool_3x3s2p1_folded(xf):
         return jnp.pad(t[:, :, :-1], ((0, 0), (0, 0), (1, 0), (0, 0)),
                        constant_values=neg)
 
-    rm = {px: jnp.maximum(jnp.maximum(up(blk[(1, px)]), blk[(0, px)]),
-                          blk[(1, px)])
-          for px in (0, 1)}
-    return jnp.maximum(jnp.maximum(left(rm[1]), rm[0]), rm[1])
+    # Progressive lane-halving (4n → 2n → n, each slice vreg-friendly)
+    # instead of four n-wide minor-dim slices:
+    #   row max   rm = [max(B00, B10, up B10) | max(B01, B11, up B11)]
+    #   col max  out =  max(rm0, rm1, left rm1)
+    # where the channel blocks are ordered (py, px, n) = B00 B01 B10 B11.
+    m1 = jnp.maximum(xf, up(xf))
+    rm = jnp.maximum(xf[..., :2 * n], m1[..., 2 * n:])
+    m2 = jnp.maximum(rm, left(rm))
+    return jnp.maximum(rm[..., :n], m2[..., n:])
 
 
 def depth_to_space_2x2(acc):

@@ -201,3 +201,26 @@ def test_jit_eager_forward_identical():
     jit = np.asarray(jax.jit(
         lambda v, x: model.apply(v, x, folded=True, update_stats=False))(v, x))
     np.testing.assert_array_equal(eager, jit)
+
+
+def test_fused_unit_input_bit_identical():
+    """The residual-add/next-unit-input fusion (engine.py, batch-gated on
+    TPU for perf) must be a pure dataflow change: fused and unfused builds
+    produce identical logits and identical captured unit inputs."""
+    from hawq_tpu.inference.freeze import freeze_resnet
+    from hawq_tpu.inference.engine import build_resnet_engine
+
+    model, cfg, v, x = _calibrated_model('tiny50', 'uniform8')
+    fm = freeze_resnet(jax.tree.map(np.asarray, v), 'tiny50', cfg, 10)
+    for dtype in (jnp.int32, jnp.int16):
+        a = np.asarray(build_resnet_engine(
+            fm, residual_dtype=dtype, fuse_unit_input=True)(x))
+        b = np.asarray(build_resnet_engine(
+            fm, residual_dtype=dtype, fuse_unit_input=False)(x))
+        np.testing.assert_array_equal(a, b, err_msg=str(dtype))
+    node = 'stage2.unit2.input'
+    ca = np.asarray(build_resnet_engine(fm, capture=node,
+                                        fuse_unit_input=True)(x))
+    cb = np.asarray(build_resnet_engine(fm, capture=node,
+                                        fuse_unit_input=False)(x))
+    np.testing.assert_array_equal(ca, cb)
