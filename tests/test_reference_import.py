@@ -266,17 +266,24 @@ def _np_reference_forward(fm, images):
                 fm[key + '.bias_int'].astype(np.int64),
                 fm[key + '.weight_scale'].astype(np.float32))
 
+    from hawq_tpu.configs.bit_config import RESNET_CIFAR_ARCHS
+    cifar = arch in RESNET_CIFAR_ARCHS
+
     s_in = fm.act_scale('quant_input')
     x8 = np.clip(np.floor(images.astype(np.float32) / np.float32(s_in)
                           + np.float32(0.5)), -128, 127).astype(np.int64)
     nodes['input'] = x8
 
     w, b, ws = wbs(init_key)
-    acc = _conv_np(x8, w, 2, ((3, 3), (3, 3))) + b
+    if cifar:       # 3×3/s1/pad1 init, no maxpool (quantized_resnet_v1.py:334)
+        acc = _conv_np(x8, w, 1, ((1, 1), (1, 1))) + b
+    else:
+        acc = _conv_np(x8, w, 2, ((3, 3), (3, 3))) + b
     s16, b16, sg16 = act_info('quant_act_int32')
     x = ro.requant_ref(acc, ws * np.float32(s_in), s16, b16, sg16)
     x = np.maximum(x, 0).astype(np.int64)
-    x = _maxpool_np(x, 3, 2, ((1, 1), (1, 1)))
+    if not cifar:
+        x = _maxpool_np(x, 3, 2, ((1, 1), (1, 1)))
     nodes['init'] = x
     prev_scale = np.float32(s16)
 
@@ -401,3 +408,22 @@ def test_reference_mode_requires_x64(frozen):
     with pytest.raises(RuntimeError, match='x64'):
         eng = build_resnet_engine(frozen, requant_mode='reference')
         eng(jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+
+@pytest.mark.slow
+def test_reference_mode_matches_oracle_at_canary_scale():
+    """Reference-exact replay at resnet20_cifar scale — the borderline-
+    rounding canary arch (~0.27M weights; see test_engine_parity's jit/eager
+    canary): the jitted f64 replay engine must equal the numpy oracle on
+    every logit, end to end, where borderline dyadic roundings are
+    statistically guaranteed to occur."""
+    arch = 'resnet20_cifar'
+    fm = synthetic_frozen_resnet(arch, get_bit_config(arch, 'uniform8'),
+                                 num_classes=10, seed=23)
+    images = (np.random.RandomState(5).rand(2, 32, 32, 3)
+              .astype(np.float32)) * 2.0 - 1.0
+    want = _np_reference_forward(fm, images)
+    with jax.enable_x64():
+        logits = np.asarray(build_resnet_engine(
+            fm, requant_mode='reference')(jnp.asarray(images)))
+    np.testing.assert_array_equal(logits, want['fc_output'])
