@@ -222,7 +222,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         input_std: np.ndarray = IMAGENET_STD,
                         conv_mode: str = 'int8',
                         requant_mode: str = 'native',
-                        fuse_unit_input: Optional[bool] = None):
+                        fuse_unit_input: Optional[bool] = None,
+                        pool_kernel: Optional[bool] = None):
     """Compile a FrozenModel into ``fn(images_f32_nhwc) -> logits_f32``.
 
     With ``capture``, the returned fn instead emits the raw integer tensor at
@@ -448,6 +449,21 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         assert w_init.shape[:2] == (7, 7), \
             'folded input modes require the 7×7/s2 init conv'
         w_fold = _fold.fold4_kernel(w_init)
+        # In-layout pool route.  The one-pass Pallas kernel
+        # (kernels/pool.py) wins ISOLATED (b64: 0.221 vs 0.556 ms) but
+        # LOSES in-engine at every batch (b8 0.770 vs 0.556, b64 8.69 vs
+        # 5.28 — benchmarks/pool_kernel_b8_b64.json): the custom-call
+        # boundary breaks the init conv's epilogue fusion and forces
+        # layout materialization worth far more than the kernel saves —
+        # the same lesson as engine-integrated pallas conv routing
+        # (docs/perf_tpu.md).  Default stays on the jnp shifted-max path;
+        # the kernel remains selectable for future hardware/XLA versions.
+        if pool_kernel is None:
+            pool_kernel = False
+        if pool_kernel:
+            from hawq_tpu.kernels.pool import maxpool_folded as _pool_fold
+        else:
+            _pool_fold = _fold.maxpool_3x3s2p1_folded
 
     # One certificate covers every init variant: the fold/s2d rewrites only
     # permute (and zero-pad) kernel taps, so per-output-channel |w| sums
@@ -500,11 +516,12 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
             mult = plan.requant_mult('init_requant', np.tile(s_init, 4), s16)
             x16 = _requant(acc, mult, b16, signed16, res_dt)
             x16 = jnp.maximum(x16, 0)
-            # maxpool directly in the folded layout (fold.py): bit-exact
-            # equal to depth_to_space + reduce_window, without the 2×
-            # intermediate — reduce_window on the unfolded int16 tensor
-            # measured ~12× off the BW roofline at b64 (1.94 ms vs 0.35)
-            x16 = _fold.maxpool_3x3s2p1_folded(x16)
+            # maxpool directly in the folded layout (fold.py / kernels/
+            # pool.py): bit-exact equal to depth_to_space + reduce_window,
+            # without the 2× intermediate — reduce_window on the unfolded
+            # int16 tensor measured ~12× off the BW roofline at b64
+            # (1.94 ms vs 0.35)
+            x16 = _pool_fold(x16)
         else:
             if cifar:
                 # CIFAR init: 3×3/s1/pad1, no maxpool

@@ -186,3 +186,21 @@ def test_pallas_routed_engine_matches_xla_engine():
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(build_resnet_engine(fm, use_pallas=True)(x))
         np.testing.assert_array_equal(got, ref, err_msg=scheme)
+
+
+def test_folded_maxpool_kernel_bit_exact():
+    """kernels/pool.maxpool_folded == fold.maxpool_3x3s2p1_folded on every
+    engine-reachable dtype (int16/int32 residual carriers, f32 engines),
+    odd and tile-unaligned shapes included.  Small shapes, so this one
+    interpret-mode kernel is cheap enough for the default suite."""
+    from hawq_tpu.inference.fold import maxpool_3x3s2p1_folded
+    from hawq_tpu.kernels.pool import maxpool_folded
+
+    rng = np.random.RandomState(0)
+    for dt in (np.int16, np.int32, np.float32):
+        for shape in ((2, 7, 9, 20), (1, 8, 8, 256)):
+            xf = rng.randint(-2 ** 14, 2 ** 14, shape).astype(dt)
+            want = np.asarray(jax.jit(maxpool_3x3s2p1_folded)(jnp.asarray(xf)))
+            got = np.asarray(maxpool_folded(jnp.asarray(xf), interpret=True))
+            np.testing.assert_array_equal(got, want,
+                                          err_msg=f'{dt} {shape}')
