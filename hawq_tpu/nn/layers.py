@@ -156,17 +156,26 @@ class QuantAct(nn.Module):
                               lambda: jnp.zeros((), jnp.float32))
 
         if update_stats:
+            # Range statistics are *buffers* in the reference — computed
+            # from x.data / x.detach() (quant_modules.py:235-245) — so no
+            # gradient may flow from the scales back into the min/max
+            # reductions.  Without this stop_gradient every downstream
+            # float use of `scale` (dequant multiplies, scale threading)
+            # back-propagates through argmin/argmax scatters over the full
+            # activation tensor: wrong STE semantics AND measured ~2× on
+            # the b64 train-step backward (benchmarks/train_breakdown).
+            xd = jax.lax.stop_gradient(x)
             if self.percentile == 0:
-                cur_min = jnp.min(x)
-                cur_max = jnp.max(x)
+                cur_min = jnp.min(xd)
+                cur_max = jnp.max(xd)
             elif self.quant_mode == 'symmetric':
                 cur_min, cur_max = qops.percentile_bounds(
-                    x.reshape(-1), 100.0 - self.percentile, self.percentile)
+                    xd.reshape(-1), 100.0 - self.percentile, self.percentile)
             else:
                 # asymmetric is always post-ReLU with zero_point 0: lower
                 # bound pinned to 0 (quant_modules.py:244-245).
                 cur_min, cur_max = qops.percentile_bounds(
-                    x.reshape(-1), 0.0, self.percentile)
+                    xd.reshape(-1), 0.0, self.percentile)
 
             uninit = x_min.value == x_max.value
             if self.momentum < 0:  # running min/max mode (momentum == -1)
@@ -276,7 +285,10 @@ class QuantConvBn(nn.Module):
 
         if not folded:
             # --- unfolded: quantized conv then batch-stats BN in float ---
-            w_flat = kernel.reshape(-1, self.features)
+            # weight ranges detached per the reference (w.data.detach(),
+            # quant_modules.py:95): gradient reaches the kernel only via
+            # the STE quantize path, never via the scale
+            w_flat = jax.lax.stop_gradient(kernel).reshape(-1, self.features)
             if self.per_channel:
                 w_min = jnp.min(w_flat, axis=0)
                 w_max = jnp.max(w_flat, axis=0)
@@ -312,7 +324,9 @@ class QuantConvBn(nn.Module):
             (jnp.zeros((self.features,)) - running_mean.value)
             * bn_factor + beta)
 
-        w_flat = scaled_weight.reshape(-1, self.features)
+        # ranges from the detached folded weight (scaled_weight.data,
+        # quant_modules.py:453-471) — the scale carries no gradient
+        w_flat = jax.lax.stop_gradient(scaled_weight).reshape(-1, self.features)
         if self.per_channel:
             if self.weight_percentile == 0:
                 w_min = jnp.min(w_flat, axis=0)
@@ -325,11 +339,11 @@ class QuantConvBn(nn.Module):
                 w_min, w_max = jnp.minimum(w_min, w_max), jnp.maximum(w_min, w_max)
         else:
             if self.weight_percentile == 0:
-                w_min = jnp.min(scaled_weight)
-                w_max = jnp.max(scaled_weight)
+                w_min = jnp.min(w_flat)
+                w_max = jnp.max(w_flat)
             else:
                 w_min, w_max = qops.percentile_bounds(
-                    scaled_weight.reshape(-1), 100 - self.weight_percentile,
+                    w_flat.reshape(-1), 100 - self.weight_percentile,
                     self.weight_percentile)
 
         weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
@@ -368,7 +382,8 @@ class QuantConv2d(nn.Module):
         in_ch = x.shape[-1] // self.groups
         kernel = self.param('kernel', nn.initializers.he_normal(),
                             (*self.kernel_size, in_ch, self.features))
-        w_flat = kernel.reshape(-1, self.features)
+        # detached ranges (w.data.detach(), quant_modules.py:663-684)
+        w_flat = jax.lax.stop_gradient(kernel).reshape(-1, self.features)
         if self.per_channel:
             w_min = jnp.min(w_flat, axis=0)
             w_max = jnp.max(w_flat, axis=0)
@@ -404,12 +419,13 @@ class QuantLinear(nn.Module):
                             (in_features, self.features))
         bias = self.param('bias', nn.initializers.zeros, (self.features,))
 
+        kd = jax.lax.stop_gradient(kernel)   # detached ranges (w.data.detach())
         if self.per_channel:
-            w_min = jnp.min(kernel, axis=0)
-            w_max = jnp.max(kernel, axis=0)
+            w_min = jnp.min(kd, axis=0)
+            w_max = jnp.max(kd, axis=0)
         else:
-            w_min = jnp.min(kernel)
-            w_max = jnp.max(kernel)
+            w_min = jnp.min(kd)
+            w_max = jnp.max(kd)
         weight_scale = qops.symmetric_quant_scale(self.weight_bit, w_min, w_max)
         w_int = qops.quantize_symmetric(kernel, weight_scale, self.weight_bit)
         bias_scale = qops.exact(weight_scale * pre_act_scale)
@@ -483,7 +499,8 @@ class QuantBnAct(nn.Module):
             y = nn.relu(y)
 
         if update_stats:
-            cur_min, cur_max = jnp.min(y), jnp.max(y)
+            yd = jax.lax.stop_gradient(y)    # buffer stats, detached
+            cur_min, cur_max = jnp.min(yd), jnp.max(yd)
             uninit = x_min.value == x_max.value
             new_min = x_min.value * self.momentum + cur_min * (1 - self.momentum)
             new_max = x_max.value * self.momentum + cur_max * (1 - self.momentum)

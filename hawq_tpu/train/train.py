@@ -103,7 +103,8 @@ def _mesh_jit(fn, mesh, donate_argnums=()):
 def make_train_step(model, *, folded: bool,
                     distill_alpha: Optional[float] = None,
                     temperature: float = 6.0, mesh=None,
-                    rng_seed: int = 0) -> Callable:
+                    rng_seed: int = 0,
+                    matmul_precision: Optional[str] = None) -> Callable:
     """Build the jitted QAT train step.
 
     ``folded`` selects the BN mode statically (two compiled versions; the
@@ -113,6 +114,16 @@ def make_train_step(model, *, folded: bool,
     statistics are computed on the logical global batch, so every replica
     holds identical statistics (fixes the reference's multi-GPU BN pitfall,
     model_zoo.md:70).
+
+    ``matmul_precision``: precision for the float (backward/STE)
+    convolutions — the quantized forward runs on the int8 MXU regardless.
+    None keeps JAX's default; 'bfloat16' forces one-pass MXU gradient
+    convs.  With the detached range statistics (nn/layers.py, matching
+    the reference's x.data/w.data buffers) the default backward already
+    runs at the bf16 rate — measured 38.3 vs 38.3 ms at resnet50 b64
+    (benchmarks/train_breakdown_b64.json) — so this knob only matters if
+    a future change re-introduces f32-precision float contractions.
+    Forward integer numerics are bit-identical in either mode.
     """
 
     def train_step(state: TrainState, batch: Mapping) -> Tuple[TrainState, Mapping]:
@@ -137,8 +148,13 @@ def make_train_step(model, *, folded: bool,
                 loss = cross_entropy(logits, batch['label'])
             return loss, (logits, mut)
 
-        (loss, (logits, mut)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if matmul_precision is None:
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        else:
+            with jax.default_matmul_precision(matmul_precision):
+                (loss, (logits, mut)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
         params = optax.apply_updates(state.params, updates)

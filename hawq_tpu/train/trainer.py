@@ -75,6 +75,10 @@ class TrainerConfig:
     evaluate: bool = False           # eval-only, no training (quant_train.py
                                      # --evaluate, :455-458)
     seed: int = 0                    # init/data seed (--seed)
+    grad_precision: Optional[str] = None   # matmul precision for backward
+                                     # convs: None = f32-faithful default;
+                                     # 'bfloat16' = 1.7x faster step
+                                     # (train/train.py make_train_step)
     workers: int = 4                 # loader threads (-j/--workers)
     start_epoch: int = 0             # epoch offset (--start-epoch)
     # QuantSettings overrides — the reference's quant argparse tier
@@ -375,7 +379,8 @@ class Trainer:
         step_fn = make_train_step(self.model, folded=folded,
                                   distill_alpha=cfg.distill_alpha,
                                   temperature=cfg.temperature,
-                                  mesh=self.mesh, rng_seed=cfg.seed)
+                                  mesh=self.mesh, rng_seed=cfg.seed,
+                                  matmul_precision=cfg.grad_precision)
         # mid-epoch evaluation (train_kd evaluate_times,
         # quant_train.py:591-610)
         eval_every = None
@@ -454,7 +459,8 @@ def main(argv=None):
                   'data_dir': str, 'resume': str,
                   'teacher_checkpoint': str, 'bias_bit': int,
                   'channel_wise': int, 'act_percentile': float,
-                  'weight_percentile': float, 'act_range_momentum': float}
+                  'weight_percentile': float, 'act_range_momentum': float,
+                  'grad_precision': str}
     for f in dataclasses.fields(TrainerConfig):
         name = '--' + f.name.replace('_', '-')
         if isinstance(f.default, bool):
