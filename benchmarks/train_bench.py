@@ -62,9 +62,10 @@ def time_train_step(step_fn, state, batch, max_iters=256):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--arch', default='resnet50')
+    p.add_argument('--arch', default='resnet50',
+                   help='resnet*, mobilenetv2, or inceptionv3')
     p.add_argument('--batch', type=int, default=64)
-    p.add_argument('--image-size', type=int, default=224)
+    p.add_argument('--image-size', type=int, default=None)
     p.add_argument('--out', default=None)
     p.add_argument('--schemes', default='uniform8,uniform4',
                    help='comma list; fewer schemes = fewer fresh compiles '
@@ -74,9 +75,29 @@ def main():
     import jax
     import jax.numpy as jnp
     from hawq_tpu.configs.bit_config import get_bit_config
-    from hawq_tpu.models.resnet import QResNet, FloatResNet
     from hawq_tpu.train.train import (TrainState, make_train_step,
                                       sgd_with_step_decay)
+
+    if args.arch == 'mobilenetv2':
+        from hawq_tpu.models.mobilenetv2 import (QMobileNetV2,
+                                                 FloatMobileNetV2)
+        make_qmodel = lambda cfg: QMobileNetV2(cfg=cfg, num_classes=1000)
+        fmodel = FloatMobileNetV2()
+        default_hw = 224
+    elif args.arch == 'inceptionv3':
+        from hawq_tpu.models.inceptionv3 import (QInceptionV3,
+                                                 FloatInceptionV3)
+        make_qmodel = lambda cfg: QInceptionV3(cfg=cfg, num_classes=1000)
+        fmodel = FloatInceptionV3()
+        default_hw = 299
+    else:
+        from hawq_tpu.models.resnet import QResNet, FloatResNet
+        make_qmodel = lambda cfg: QResNet(arch=args.arch, cfg=cfg,
+                                          num_classes=1000)
+        fmodel = FloatResNet(arch=args.arch)
+        default_hw = 224
+    if args.image_size is None:
+        args.image_size = default_hw
 
     rng = np.random.RandomState(0)
     batch = {
@@ -100,15 +121,13 @@ def main():
     # QAT step (folded BN, int8 MXU forward) per requested scheme
     for scheme in args.schemes.split(','):
         cfg = get_bit_config(args.arch, scheme)
-        model = QResNet(arch=args.arch, cfg=cfg, num_classes=1000)
+        model = make_qmodel(cfg)
         t = measure(model, folded=True, update_stats=True)
         results[f'qat_{scheme}_ms_per_step'] = round(t * 1e3, 3)
         results[f'qat_{scheme}_images_per_sec'] = round(args.batch / t, 1)
 
     # fp32 baseline train step on the float twin
     import optax
-
-    fmodel = FloatResNet(arch=args.arch)
 
     def float_step(state, batch):
         def loss_fn(params):
