@@ -197,3 +197,55 @@ class TestPools:
         y, s = L.quant_max_pool(x, jnp.float32(0.1), (2, 2), (2, 2), 'VALID')
         assert float(y[0, 0, 0, 0]) == 5.0
         assert float(s) == pytest.approx(0.1)
+
+
+class TestDetachedRanges:
+    """Range statistics are buffers in the reference (x.data.min()
+    quant_modules.py:235, w.data.detach() :95, scaled_weight.data :453):
+    no gradient may flow from the scales back into the min/max
+    reductions.  The leak cost 42% of the b64 train step before round 3
+    (benchmarks/train_breakdown_b64.json)."""
+
+    def test_quant_act_grad_is_pure_ste(self):
+        # case (a) input quantization: out = quantize(x)*scale with STE
+        # backward g/scale, so d sum(out) / dx == 1 for in-range x.  A
+        # differentiable range would add an argmin/argmax term of order
+        # (1-momentum)*|x| at the extremes — far above float roundoff.
+        mod = L.QuantAct(bits=8, momentum=0.9)
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(4, 33).astype(np.float32))
+        v = mod.init(jax.random.PRNGKey(0), x, update_stats=True)
+
+        def f(xx):
+            (y, s), _ = mod.apply(v, xx, update_stats=True,
+                                  mutable=['quant_stats'])
+            return jnp.sum(y)
+
+        g = np.asarray(jax.grad(f)(x))
+        np.testing.assert_allclose(g, np.ones_like(g), rtol=0, atol=1e-5)
+
+    def test_convbn_weight_scale_detached(self):
+        # folded QuantConvBn: gradient w.r.t. the kernel flows only via
+        # the STE quantize path (g * bias_scale / weight_scale ... chain),
+        # never via the weight range.  With a leaky range, the argmax
+        # weight element would pick up an extra O(sum(acc*g)) term.
+        mod = L.QuantConvBn(features=3, kernel_size=(1, 1))
+        x = jnp.asarray(np.random.RandomState(1)
+                        .randn(2, 4, 4, 3).astype(np.float32))
+        v = mod.init(jax.random.PRNGKey(0), x, jnp.float32(0.05),
+                     folded=True)
+
+        def f(params):
+            out, _, _ = mod.apply({**v, 'params': params}, x,
+                                  jnp.float32(0.05), folded=True)
+            return jnp.sum(out)
+
+        g = jax.grad(f)(v['params'])
+        gk = np.asarray(g['kernel'])
+        # pure STE: d out / d kernel == ones-conv backprop (x summed over
+        # batch/pixels per input channel), identical for every output
+        # channel regardless of that channel's weight range
+        expect = np.asarray(jnp.sum(x, axis=(0, 1, 2)))
+        np.testing.assert_allclose(gk[0, 0], expect[:, None] *
+                                   np.ones((1, 3), np.float32),
+                                   rtol=2e-5)
