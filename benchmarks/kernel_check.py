@@ -71,6 +71,16 @@ def main():
                                           jnp.array(bias), jnp.array(mult))
         check(f'int4w_matmul_requant {m}x{k}x{n}', got, ref)
 
+    # -- folded-layout max-pool kernel ---------------------------------------
+    from hawq_tpu.kernels import pool as kp
+    from hawq_tpu.inference import fold as fo
+    import jax
+    for b, dt in [(8, np.int16), (4, np.float32)]:
+        xf = rng.randint(-2 ** 14, 2 ** 14, (b, 56, 56, 256)).astype(dt)
+        got = kp.maxpool_folded(jnp.array(xf))
+        ref = jax.jit(fo.maxpool_3x3s2p1_folded)(jnp.array(xf))
+        check(f'maxpool_folded b{b} {np.dtype(dt).name}', got, ref)
+
     # -- roofline timing ------------------------------------------------------
     m, k, n = 2048, 2048, 2048
     x = jnp.array(rng.randint(-128, 128, (m, k)).astype(np.int8))
