@@ -67,6 +67,10 @@ def _load_frozen_or_synthetic(args) -> FrozenModel:
     if args.frozen:
         from hawq_tpu.utils.checkpoint import load_frozen
         return load_frozen(args.frozen)
+    if args.arch.endswith('v2'):
+        from hawq_tpu.inference.synthetic import synthetic_frozen_resnet_v2
+        return synthetic_frozen_resnet_v2(
+            args.arch, get_bit_config(args.arch, args.scheme))
     from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
     return synthetic_frozen_resnet(args.arch,
                                    get_bit_config(args.arch, args.scheme))

@@ -443,6 +443,11 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     u8_std = input_std.astype(np.float32)
 
     folded = input_mode.startswith('folded')
+    if pool_kernel and not folded:
+        raise ValueError(
+            f"pool_kernel=True requires a folded input mode (the Pallas "
+            f"pool operates on the fold4 layout); input_mode={input_mode!r} "
+            f"would silently measure the default pool path")
     if folded:
         from hawq_tpu.inference import fold as _fold
         w_init = np.asarray(fm[init_key + '.weight_int'])

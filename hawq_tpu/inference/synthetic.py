@@ -102,6 +102,60 @@ def synthetic_frozen_resnet(arch: str, cfg: BitConfig,
                        num_classes=num_classes)
 
 
+def synthetic_frozen_resnet_v2(arch: str, cfg: BitConfig,
+                               num_classes: int = 1000,
+                               seed: int = 0) -> FrozenModel:
+    """Random-integer FrozenModel in freeze_resnet_v2's namespace.
+
+    The reference ships its v2 graph *only* in synthetic-weight latency form
+    (quantized_resnet_v2.py via create_workload, init.py:143-180) — this is
+    that workload for the TPU engine.  ``arch`` is e.g. 'resnet50v2'.
+    """
+    base = arch[:-2]
+    g = _TensorGen(cfg, seed)
+    bottleneck = RESNET_CONVS_PER_UNIT[base] == 3
+    mids, outs = _STAGE_CHANNELS[base]
+    init_feats = _INIT_FEATURES.get(base, 64)
+
+    g.act('quant_input')
+    g.conv('quant_init_conv', 7, 7, 3, init_feats)
+    g.act('quant_act_int32')
+
+    in_ch = init_feats
+    for s, n_units in enumerate(RESNET_UNITS[base], start=1):
+        for u in range(1, n_units + 1):
+            p = f'stage{s}.unit{u}'
+            stride = 2 if (u == 1 and s > 1) else 1
+            out_ch = outs[s - 1]
+            # standalone integer BN on the residual stream (bn1,
+            # quantized_resnet_v2.py:24-36)
+            g.tensors[f'{p}.quant_bn.bn_factor'] = (
+                0.5 + g.rng.rand(in_ch)).astype(np.float32)
+            g.tensors[f'{p}.quant_bn.bn_bias'] = (
+                g.rng.randn(in_ch) * 0.1).astype(np.float32)
+            g.act(f'{p}.quant_act')
+            if (in_ch != out_ch) or stride != 1:
+                g.conv(f'{p}.quant_identity_conv', 1, 1, in_ch, out_ch)
+            if bottleneck:
+                mid = mids[s - 1]
+                g.conv(f'{p}.quant_conv1', 1, 1, in_ch, mid)
+                g.act(f'{p}.quant_act1')
+                g.conv(f'{p}.quant_conv2', 3, 3, mid, mid)
+                g.act(f'{p}.quant_act2')
+                g.conv(f'{p}.quant_conv3', 1, 1, mid, out_ch)
+            else:
+                g.conv(f'{p}.quant_conv1', 3, 3, in_ch, out_ch)
+                g.act(f'{p}.quant_act1')
+                g.conv(f'{p}.quant_conv2', 3, 3, out_ch, out_ch)
+            g.act(f'{p}.quant_act_int32')
+            in_ch = out_ch
+
+    g.act('quant_act_output')
+    g.dense('quant_output', in_ch, num_classes)
+    return FrozenModel(arch=arch, cfg=cfg, tensors=g.tensors,
+                       num_classes=num_classes)
+
+
 class _TensorGen:
     """Shared random tensor emitters for the synthetic freezers."""
 

@@ -332,11 +332,10 @@ class QuantConvBn(nn.Module):
                 w_min = jnp.min(w_flat, axis=0)
                 w_max = jnp.max(w_flat, axis=0)
             else:
-                w_min = jnp.quantile(w_flat, 1 - self.weight_percentile / 100.0,
-                                     axis=0)
-                w_max = jnp.quantile(w_flat, self.weight_percentile / 100.0,
-                                     axis=0)
-                w_min, w_max = jnp.minimum(w_min, w_max), jnp.maximum(w_min, w_max)
+                # reference kthvalue-at-ceil-index semantics
+                # (quant_modules.py:459-467)
+                w_min, w_max = qops.weight_percentile_bounds_per_channel(
+                    w_flat, self.weight_percentile)
         else:
             if self.weight_percentile == 0:
                 w_min = jnp.min(w_flat)

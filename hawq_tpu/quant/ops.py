@@ -39,6 +39,7 @@ engine call the very same jitted formula, parity is exact by construction.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -134,17 +135,52 @@ def asymmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
 
 def percentile_bounds(x_flat: jnp.ndarray, lower_pct: float,
                       upper_pct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Percentile min/max of a flat tensor (quant_utils.py:40-70).
+    """Percentile min/max of a flat tensor — exact order statistics with the
+    reference's index semantics (get_percentile_min_max, quant_utils.py:40-70).
 
     lower_pct / upper_pct are in percent, e.g. (0.1, 99.9) keeps the central
-    99.8%.  Uses jnp.quantile (sorted-based), static under jit.
+    99.8%.  The reference takes ``torch.kthvalue`` at
+    ``round(len·upper_pct/100)`` for the upper bound and the *negated*
+    kthvalue at ``round(len·(1 − lower_pct/100))`` for the lower bound — no
+    interpolation (``round`` is Python's builtin, half-even).  Calibrated
+    ranges of percentile-trained imported checkpoints depend on these exact
+    indices, so jnp.quantile's linear interpolation is not acceptable here.
+
+    One ascending sort serves both ends:  -kthvalue(-x, k) equals the
+    (n-k+1)-th smallest of x, i.e. ``sorted(x)[n-k]`` — identical value for
+    ties, and ``-(-v) == v`` bit-for-bit for every float.  Indices are
+    computed host-side (shapes are static under jit).
     """
-    upper = jnp.quantile(x_flat, upper_pct / 100.0)
+    n = int(x_flat.shape[0])
+    s = jnp.sort(x_flat)
+    upper_index = round(n * upper_pct * 0.01)
+    upper = s[upper_index - 1]
     if lower_pct == 0:
-        lower = jnp.zeros_like(upper)
+        lower = upper * 0
     else:
-        lower = jnp.quantile(x_flat, lower_pct / 100.0)
+        lower_index = round(n * (1.0 - lower_pct * 0.01))
+        lower = s[n - lower_index]
     return lower, upper
+
+
+def weight_percentile_bounds_per_channel(
+        w_flat: jnp.ndarray, pct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-channel weight percentile range, reference kthvalue semantics.
+
+    ``w_flat`` is (L, Cout) — per-channel elements along axis 0 (the
+    channel-minor transpose of the reference's ``view(out_channels, -1)``).
+    The reference (QuantBnConv2d folded / QuantConv2d,
+    quant_modules.py:459-467, 697-705) uses ``math.ceil`` indices — a
+    *different* rounding from the activation path's ``round`` —
+    and takes the plain kthvalue for BOTH bounds (no negation):
+      w_min = kth smallest at ceil(L·(100−pct)/100),
+      w_max = kth smallest at ceil(L·pct/100).
+    """
+    ln = int(w_flat.shape[0])
+    lower_index = math.ceil(ln * (100.0 - pct) * 0.01)
+    upper_index = math.ceil(ln * pct * 0.01)
+    ws = jnp.sort(w_flat, axis=0)
+    return ws[lower_index - 1], ws[upper_index - 1]
 
 
 # ---------------------------------------------------------------------------

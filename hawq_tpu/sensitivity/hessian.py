@@ -9,8 +9,9 @@ component: for Rademacher probes v ~ {-1,+1}^d,
 
 so a single full-pytree Hessian-vector product yields unbiased per-layer
 trace estimates for *all* layers simultaneously (cross-block terms vanish in
-expectation).  Hv is a forward-over-reverse jvp-of-grad — two passes, fully
-jittable, TPU-friendly.
+expectation).  Hv is computed reverse-over-reverse (grad of vdot-of-grad,
+see :func:`hvp` — the STE custom_vjp quantizers rule out jvp-of-grad);
+both passes are fully jittable and TPU-friendly.
 """
 
 from __future__ import annotations

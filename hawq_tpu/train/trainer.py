@@ -143,6 +143,12 @@ def build_model(cfg: TrainerConfig):
         return QInceptionV3(cfg=bit_cfg, num_classes=cfg.num_classes), bit_cfg
     bit_cfg = _apply_quant_overrides(
         cfg, get_bit_config(cfg.arch, cfg.scheme))
+    if cfg.arch.endswith('v2'):
+        from hawq_tpu.configs.bit_config import RESNET_UNITS
+        from hawq_tpu.models.resnet_v2 import QResNetV2
+        if cfg.arch[:-2] in RESNET_UNITS:
+            return QResNetV2(arch=cfg.arch, cfg=bit_cfg,
+                             num_classes=cfg.num_classes), bit_cfg
     if cfg.arch.startswith(('resnet', 'tiny')):
         return QResNet(arch=cfg.arch, cfg=bit_cfg,
                        num_classes=cfg.num_classes), bit_cfg
@@ -301,6 +307,10 @@ class Trainer:
             fm = freeze_inceptionv3(variables, self.bit_cfg,
                                     self.cfg.num_classes,
                                     width_div=self.model.width_div)
+        elif self.cfg.arch.endswith('v2'):
+            from hawq_tpu.inference.engine_v2 import freeze_resnet_v2
+            fm = freeze_resnet_v2(variables, self.cfg.arch, self.bit_cfg,
+                                  self.cfg.num_classes)
         else:
             fm = freeze_resnet(variables, self.cfg.arch, self.bit_cfg,
                                self.cfg.num_classes)
@@ -440,7 +450,11 @@ class Trainer:
         return acc
 
     def run(self):
-        self.calibrate()
+        # a quantized resume restores trained activation ranges — do not
+        # recalibrate over them (the reference evaluates/trains straight
+        # from the restored buffers, quant_train.py:304-318, 455-458)
+        if not (self.cfg.resume and self.cfg.resume_quantize):
+            self.calibrate()
         if self.cfg.evaluate:       # eval-only (quant_train.py:455-458)
             return self.evaluate()
         for epoch in range(self.start_epoch, self.cfg.epochs):

@@ -86,6 +86,17 @@ def test_deploy_synthetic_arch(capsys):
     assert 'scheme=tiny18_uniform4' in out and 'deployed_size=' in out
 
 
+def test_deploy_synthetic_v2_arch(capsys):
+    """The pre-activation v2 family in the driver's synthetic latency mode —
+    the exact form the reference ships v2 in (create_workload random params,
+    quantized_resnet_v2.py + init.py:143-180)."""
+    rc = deploy.main(['--arch', 'tiny18v2', '--scheme', 'uniform8',
+                      '--image-size', '32', '--batch', '2'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'arch=tiny18v2' in out and 'deployed_size=' in out
+
+
 def test_deploy_folded_input_mode(frozen_path, capsys):
     """--input-mode folded_float32 folds on host and classifies identically
     to the direct path (same synthetic input, same RNG)."""

@@ -1,0 +1,436 @@
+"""Differential validation against the GENUINE reference code.
+
+The other parity tests (test_reference_import.py) validate the oracle against
+a torch *transliteration* written here; this module removes that last
+unverified link by importing the reference's own modules from
+``/root/reference`` (torch 2.13 CPU is installed; the reference code is
+treated strictly as a numerical oracle) and asserting:
+
+  * :mod:`hawq_tpu.quant.reference_oracle` == the genuine ``batch_frexp`` /
+    ``fixedpoint_fn`` (quant_utils.py:188-213, 344-460) on randomized
+    scales/accumulators including engineered round-half-way ties;
+  * the repo's percentile calibration == the genuine
+    ``get_percentile_min_max`` (round-index order statistics,
+    quant_utils.py:40-70) and the genuine per-channel kthvalue weight
+    percentile (ceil-index, quant_modules.py:459-467);
+  * a full residual-unit chain built from the reference's own ``QuantAct`` +
+    ``QuantBnConv2d`` + ``QuantLinear`` + ``Q_ResBlockBn``/``Q_ResUnitBn``
+    (quant_modules.py:133-494, q_resnet.py:199-316), calibrated, ``fix()``ed
+    via the genuine ``freeze_model``, dumped as the reference's five-slice
+    ``quantized_checkpoint.pth.tar`` (quant_train.py:665-670), imported with
+    ``load_reference_quantized``, and replayed by the engine in
+    ``requant_mode='reference'`` — bit-identical integers at every unit.
+
+The reference hard-codes ``.cuda()`` placement (quant_utils.py:212, 251,
+299); this box has no GPU, so ``torch.Tensor.cuda`` / ``torch.tensor``'s
+``.cuda`` are patched to identity — a device-placement no-op that does not
+touch any numerics.
+"""
+
+import importlib
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hawq_tpu.configs.bit_config import (get_bit_config, RESNET_UNITS,
+                                         RESNET_CONVS_PER_UNIT)
+from hawq_tpu.inference.engine import build_resnet_engine
+from hawq_tpu.models.resnet import _STAGE_CHANNELS, _INIT_FEATURES
+from hawq_tpu.quant import ops as qops
+from hawq_tpu.quant import reference_oracle as ro
+from hawq_tpu.utils import checkpoint as ckpt
+
+torch = pytest.importorskip('torch')
+
+# CPU no-op for the reference's hard-coded .cuda() placement calls.
+torch.Tensor.cuda = lambda self, *a, **k: self
+
+_REF_UTILS = '/root/reference/utils'
+
+
+def _import_reference():
+    """sys.path-free package-shim import of the genuine reference modules.
+
+    Returns (quant_utils, quant_modules, q_resnet).  pytorchcv (absent here)
+    is stubbed — q_resnet.py imports it but never uses the symbols in the
+    classes we instantiate.
+    """
+    if 'refutils.models.q_resnet' in sys.modules:
+        return (sys.modules['refutils.quantization_utils.quant_utils'],
+                sys.modules['refutils.quantization_utils.quant_modules'],
+                sys.modules['refutils.models.q_resnet'])
+    for name in ('pytorchcv', 'pytorchcv.models', 'pytorchcv.models.common',
+                 'pytorchcv.models.shufflenetv2'):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    for sym in ('ConvBlock',):
+        setattr(sys.modules['pytorchcv.models.common'], sym, type(sym, (), {}))
+    for sym in ('ShuffleUnit', 'ShuffleInitBlock'):
+        setattr(sys.modules['pytorchcv.models.shufflenetv2'], sym,
+                type(sym, (), {}))
+    root = types.ModuleType('refutils')
+    root.__path__ = [_REF_UTILS]
+    sys.modules['refutils'] = root
+    qu = importlib.import_module('refutils.quantization_utils.quant_utils')
+    qm = importlib.import_module('refutils.quantization_utils.quant_modules')
+    qr = importlib.import_module('refutils.models.q_resnet')
+    return qu, qm, qr
+
+
+QU, QM, QR = _import_reference()
+
+
+# ---------------------------------------------------------------------------
+# 1. dyadic requant primitives vs the genuine functions
+# ---------------------------------------------------------------------------
+
+def test_genuine_batch_frexp_matches_oracle():
+    rng = np.random.RandomState(0)
+    scales = np.concatenate([
+        10.0 ** rng.uniform(-6, 2, 256),
+        # engineered: exact powers of two, the 2^-32 half-up tie, and the
+        # largest-mantissa edge
+        [0.75, 0.5, 1.0, 2.0, 0.5 + 2.0 ** -32, 1.0 - 2.0 ** -24],
+    ]).astype(np.float64)
+    m, e = ro.frexp31(scales)
+    tm, te = QU.batch_frexp(torch.from_numpy(scales))
+    np.testing.assert_array_equal(m, tm.numpy().astype(np.float64))
+    np.testing.assert_array_equal(e, te.numpy())
+
+
+def _genuine_case0(z_nchw, bits, mode, s_out, s_act, s_w):
+    """Drive the genuine fixedpoint_fn (case 0) exactly as QuantAct does
+    (quant_modules.py:291-293)."""
+    return QU.fixedpoint_fn.apply(
+        z_nchw, bits, mode, torch.tensor([float(s_out)]), 0,
+        torch.tensor([float(s_act)]), torch.as_tensor(s_w))
+
+
+def test_genuine_fixedpoint_case0_matches_oracle():
+    rng = np.random.RandomState(1)
+    for bits, mode in ((8, 'symmetric'), (4, 'asymmetric'), (16, 'symmetric')):
+        c = 8
+        z_int = rng.randint(-2 ** 20, 2 ** 20, (2, 5, 5, c)).astype(np.float64)
+        s_act = np.float32(0.037)
+        s_w = (0.001 * (0.5 + rng.rand(c))).astype(np.float32)
+        s_out = np.float32(0.05)
+        acc = s_w * s_act                       # f32 product, as the plan has
+        got = ro.requant_ref(z_int, acc, s_out, bits, mode == 'symmetric')
+        z = torch.from_numpy(
+            np.transpose(z_int * acc.astype(np.float64), (0, 3, 1, 2))).float()
+        want = _genuine_case0(z, bits, mode, s_out, s_act,
+                              torch.from_numpy(s_w))
+        np.testing.assert_array_equal(
+            got, np.transpose(want.numpy(), (0, 2, 3, 1)).astype(np.float64))
+
+
+def test_genuine_fixedpoint_case0_halfway_ties():
+    """scale ratio exactly 3/4 ⇒ z_int ≡ 2 (mod 4) lands on .5 exactly —
+    the rounding mode of the z·m/2^e round must match (half-even)."""
+    z_int = np.array([[[[2.0, 6.0, -2.0, -6.0, 10.0, 4.0, 8.0, 3.0]]]])
+    got = ro.requant_ref(z_int, np.float32(0.75), np.float32(1.0), 8, True)
+    z = torch.from_numpy(np.transpose(z_int * 0.75, (0, 3, 1, 2))).float()
+    want = _genuine_case0(z, 8, 'symmetric', 1.0, 0.75,
+                          torch.ones(8))
+    np.testing.assert_array_equal(
+        got, np.transpose(want.numpy(), (0, 2, 3, 1)).astype(np.float64))
+
+
+def test_genuine_fixedpoint_case1_matches_oracle():
+    rng = np.random.RandomState(2)
+    c = 8
+    main = rng.randint(-2 ** 18, 2 ** 18, (2, 4, 4, c)).astype(np.float64)
+    ident = rng.randint(-2 ** 12, 2 ** 12, (2, 4, 4, c)).astype(np.float64)
+    s_act, s_out = np.float32(0.021), np.float32(0.013)
+    s_w = (0.002 * (0.5 + rng.rand(c))).astype(np.float32)
+    id_act = np.float32(0.0042)
+    acc = s_w * s_act
+    got = ro.requant_add_ref(main, acc, ident, id_act, s_out)
+    z_np = main * acc.astype(np.float64) + ident * np.float64(id_act)
+    id_np = ident * np.float64(id_act)
+    want = QU.fixedpoint_fn.apply(
+        torch.from_numpy(np.transpose(z_np, (0, 3, 1, 2))).float(),
+        16, 'symmetric', torch.tensor([float(s_out)]), 1,
+        torch.tensor([float(s_act)]), torch.from_numpy(s_w),
+        torch.from_numpy(np.transpose(id_np, (0, 3, 1, 2))).float(),
+        torch.tensor([float(id_act)]), torch.tensor([1.0]))
+    np.testing.assert_array_equal(
+        got, np.transpose(want.numpy(), (0, 2, 3, 1)).astype(np.float64))
+
+
+def test_genuine_symmetric_scale_matches_repo():
+    rng = np.random.RandomState(3)
+    mins = (-rng.rand(16)).astype(np.float32)
+    maxs = rng.rand(16).astype(np.float32)
+    for bits in (4, 8):
+        want = QU.symmetric_linear_quantization_params(
+            bits, torch.from_numpy(mins), torch.from_numpy(maxs),
+            per_channel=True)
+        got = qops.symmetric_quant_scale(bits, jnp.asarray(mins),
+                                         jnp.asarray(maxs))
+        np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+# ---------------------------------------------------------------------------
+# 2. percentile calibration vs the genuine order statistics
+# ---------------------------------------------------------------------------
+
+def test_percentile_bounds_match_genuine_get_percentile_min_max():
+    rng = np.random.RandomState(4)
+    for n in (1000, 1003, 257):        # non-round lengths stress the index
+        x = rng.randn(n).astype(np.float32)
+        for pct in (99.9, 99.0, 95.0, 99.99):
+            tlo, thi = QU.get_percentile_min_max(
+                torch.from_numpy(x), 100.0 - pct, pct, output_tensor=True)
+            jlo, jhi = qops.percentile_bounds(jnp.asarray(x),
+                                              100.0 - pct, pct)
+            assert float(jlo) == float(tlo), (n, pct)
+            assert float(jhi) == float(thi), (n, pct)
+        # the asymmetric path pins the lower percentile to 0
+        tlo, thi = QU.get_percentile_min_max(
+            torch.from_numpy(x), 0, 99.7, output_tensor=True)
+        jlo, jhi = qops.percentile_bounds(jnp.asarray(x), 0.0, 99.7)
+        assert float(jlo) == float(tlo) == 0.0 * float(thi)
+        assert float(jhi) == float(thi)
+
+
+def test_weight_percentile_per_channel_matches_genuine_kthvalue():
+    """quant_modules.py:459-467 ceil-index kthvalue, both bounds un-negated."""
+    rng = np.random.RandomState(5)
+    w = rng.randn(16, 45).astype(np.float32)      # torch view: (Cout, L)
+    for pct in (99.9, 95.0, 90.0):
+        ln = w.shape[1]
+        lower_index = math.ceil(ln * (100.0 - pct) * 0.01)
+        upper_index = math.ceil(ln * pct * 0.01)
+        tmin = torch.kthvalue(torch.from_numpy(w), k=lower_index, dim=1).values
+        tmax = torch.kthvalue(torch.from_numpy(w), k=upper_index, dim=1).values
+        jmin, jmax = qops.weight_percentile_bounds_per_channel(
+            jnp.asarray(w.T), pct)                # repo layout: (L, Cout)
+        np.testing.assert_array_equal(np.asarray(jmin), tmin.numpy())
+        np.testing.assert_array_equal(np.asarray(jmax), tmax.numpy())
+
+
+# ---------------------------------------------------------------------------
+# 3. full chain: genuine reference modules -> five-slice checkpoint ->
+#    imported engine replay, bit-for-bit
+# ---------------------------------------------------------------------------
+
+def _convbn(cin, cout, k, stride, pad, rng, wscale=0.2):
+    conv = torch.nn.Conv2d(cin, cout, k, stride, pad, bias=False)
+    bn = torch.nn.BatchNorm2d(cout)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(
+            (rng.randn(cout, cin, k, k) * wscale).astype(np.float32)))
+        bn.weight.copy_(torch.from_numpy(
+            (0.5 + rng.rand(cout)).astype(np.float32)))
+        bn.bias.copy_(torch.from_numpy(
+            (rng.randn(cout) * 0.1).astype(np.float32)))
+    return types.SimpleNamespace(conv=conv, bn=bn)
+
+
+def _float_unit(cin, cmid, cout, stride, bottleneck, rng):
+    """pytorchcv-shaped float unit for the genuine set_param()
+    (q_resnet.py:206-227 reads .body.convN.{conv,bn} / .identity_conv).
+    The tiny50 geometry is v1.5-style: stride on the 3×3 conv2."""
+    body = types.SimpleNamespace()
+    if bottleneck:
+        body.conv1 = _convbn(cin, cmid, 1, 1, 0, rng)
+        body.conv2 = _convbn(cmid, cmid, 3, stride, 1, rng)
+        body.conv3 = _convbn(cmid, cout, 1, 1, 0, rng)
+    else:
+        body.conv1 = _convbn(cin, cout, 3, stride, 1, rng)
+        body.conv2 = _convbn(cout, cout, 3, 1, 1, rng)
+    resize = (cin != cout) or stride != 1
+    unit = types.SimpleNamespace(body=body, resize_identity=resize)
+    if resize:
+        unit.identity_conv = _convbn(cin, cout, 1, stride, 0, rng)
+    return unit
+
+
+class _GenuineTinyResNet(torch.nn.Module):
+    """The reference's Q_ResNet wiring (q_resnet.py:16-135) built from the
+    GENUINE quant modules and unit classes, at tiny dims.  Module names match
+    the reference exactly (incl. the dotted setattr registration,
+    q_resnet.py:43) so the five-slice state dict is importable."""
+
+    def __init__(self, arch, ncls, seed):
+        super().__init__()
+        rng = np.random.RandomState(seed)
+        units = RESNET_UNITS[arch]
+        bottleneck = RESNET_CONVS_PER_UNIT[arch] == 3
+        init_f = _INIT_FEATURES[arch]
+        mid, out = _STAGE_CHANNELS[arch]
+        self._bottleneck = bottleneck
+        self._init_name = ('quant_init_convbn' if bottleneck
+                           else 'quant_init_block_convbn')
+
+        self.quant_input = QM.QuantAct()
+        qc = QM.QuantBnConv2d()
+        blk = _convbn(3, init_f, 7, 2, 3, rng)
+        qc.set_param(blk.conv, blk.bn)
+        setattr(self, self._init_name, qc)
+        self.quant_act_int32 = QM.QuantAct()
+        self.pool = torch.nn.MaxPool2d(3, 2, 1)
+        self.act = torch.nn.ReLU()
+
+        cin = init_f
+        self._units = []
+        for s, n_units in enumerate(units, start=1):
+            for u in range(1, n_units + 1):
+                stride = 2 if (u == 1 and s > 1) else 1
+                cout = out[s - 1]
+                cmid = mid[s - 1] if bottleneck else None
+                funit = _float_unit(cin, cmid, cout, stride, bottleneck, rng)
+                qunit = QR.Q_ResUnitBn() if bottleneck else QR.Q_ResBlockBn()
+                qunit.set_param(funit)
+                name = f'stage{s}.unit{u}'
+                setattr(self, name, qunit)
+                self._units.append(name)
+                cin = cout
+
+        self.final_pool = QM.QuantAveragePool2d(kernel_size=4, stride=1)
+        self.quant_act_output = QM.QuantAct()
+        lin = torch.nn.Linear(cin, ncls)
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(
+                (rng.randn(ncls, cin) * 0.1).astype(np.float32)))
+            lin.bias.copy_(torch.from_numpy(
+                (rng.randn(ncls) * 0.05).astype(np.float32)))
+        self.quant_output = QM.QuantLinear()
+        self.quant_output.set_param(lin)
+
+    def forward(self, x):
+        # q_resnet.py:114-135 logic, verbatim
+        x, act_sf = self.quant_input(x)
+        x, w_sf = getattr(self, self._init_name)(x, act_sf)
+        x = self.pool(x)
+        x, act_sf = self.quant_act_int32(x, act_sf, w_sf)
+        x = self.act(x)
+        for name in self._units:
+            x, act_sf = getattr(self, name)(x, act_sf)
+        x = self.final_pool(x, act_sf)
+        x, act_sf = self.quant_act_output(x, act_sf)
+        x = x.view(x.size(0), -1)
+        return self.quant_output(x, act_sf)
+
+
+def _apply_bit_config(model, cfg):
+    """The trainer's attr surgery (quant_train.py:264-301) driven by the
+    repo's BitConfig (same key naming by construction)."""
+    n_hit = 0
+    for name, m in model.named_modules():
+        if name not in cfg.table:
+            continue
+        n_hit += 1
+        if isinstance(m, QM.QuantAct):
+            bits = cfg.act_bits(name)
+            m.activation_bit = bits
+            m.quant_mode = 'asymmetric' if bits == 4 else 'symmetric'
+            m.act_range_momentum = cfg.settings.act_range_momentum
+            m.act_percentile = cfg.settings.act_percentile
+        else:
+            m.quant_mode = 'symmetric'
+            m.weight_bit = cfg.weight_bits(name)
+            m.per_channel = cfg.settings.per_channel
+            m.bias_bit = cfg.settings.bias_bit
+            m.quantize_bias = True
+            m.weight_percentile = cfg.settings.weight_percentile
+    assert n_hit == len(cfg.table), 'surgery missed modules'
+
+
+def _calibrate_freeze_dump(model, images_nchw):
+    """Calibrate ranges, freeze via the genuine freeze_model, run once
+    frozen to populate integer buffers, dump the five-slice checkpoint dict
+    (quant_train.py:665-670 filter semantics, DDP 'module.' prefix)."""
+    with torch.no_grad():
+        for i in range(images_nchw.shape[0]):
+            model(images_nchw[i:i + 1] * (1.0 + 0.1 * i))
+    QM.freeze_model(model)
+    with torch.no_grad():
+        model(images_nchw[:1])
+    sd = model.state_dict()
+    return {
+        s: {'module.' + k: v.clone() for k, v in sd.items() if s in k}
+        for s in ('convbn_scaling_factor', 'fc_scaling_factor',
+                  'weight_integer', 'bias_integer', 'act_scaling_factor')
+    }
+
+
+def _torch_unit_ints(model, images_nchw):
+    """Frozen torch forward capturing per-unit integer featuremaps (NHWC)."""
+    grabbed = {}
+
+    def _hook(name):
+        def fn(_m, _inp, outp):
+            val, scale = outp
+            grabbed[name] = torch.round(
+                val / scale.view(-1)).detach().numpy()
+        return fn
+
+    handles = [getattr(model, n).register_forward_hook(_hook(n))
+               for n in model._units]
+    handles.append(model.final_pool.register_forward_hook(_hook('avg_pool')))
+    handles.append(
+        model.quant_act_output.register_forward_hook(_hook('fc_input')))
+    with torch.no_grad():
+        logits = model(images_nchw).numpy()
+    for h in handles:
+        h.remove()
+    nodes = {'logits': logits}
+    for name in model._units:
+        nodes[name + '.quant_act_int32'] = np.transpose(
+            grabbed[name], (0, 2, 3, 1))
+    nodes['avg_pool'] = np.transpose(
+        grabbed['avg_pool'], (0, 2, 3, 1)).reshape(len(logits), -1)
+    nodes['fc_input'] = np.transpose(
+        grabbed['fc_input'], (0, 2, 3, 1)).reshape(len(logits), -1)
+    return nodes
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('arch,scheme', [('tiny18', 'uniform8'),
+                                         ('tiny18', 'uniform4'),
+                                         ('tiny50', 'uniform8')])
+def test_genuine_chain_matches_reference_mode_engine(arch, scheme, tmp_path):
+    """Genuine reference modules → quantized_checkpoint.pth.tar → importer →
+    requant_mode='reference' engine: bit-identical integers at every unit
+    output, the pool, the fc input, and the final float logits."""
+    torch.manual_seed(0)
+    cfg = get_bit_config(arch, scheme)
+    model = _GenuineTinyResNet(arch, ncls := 16, seed=11)
+    _apply_bit_config(model, cfg)
+
+    rng = np.random.RandomState(7)
+    cal = torch.from_numpy(
+        (rng.rand(4, 3, 32, 32).astype(np.float32)) * 2.0 - 1.0)
+    state = _calibrate_freeze_dump(model, cal)
+    path = str(tmp_path / 'quantized_checkpoint.pth.tar')
+    torch.save(state, path)
+
+    fm = ckpt.load_reference_quantized(path, arch, cfg)
+    assert fm.num_classes == ncls
+
+    test_nchw = torch.from_numpy(
+        (rng.rand(2, 3, 32, 32).astype(np.float32)) * 2.0 - 1.0)
+    want = _torch_unit_ints(model, test_nchw)
+    images = jnp.asarray(np.transpose(test_nchw.numpy(), (0, 2, 3, 1)))
+
+    with jax.enable_x64():
+        for node in (list(n + '.quant_act_int32' for n in model._units)
+                     + ['avg_pool', 'fc_input']):
+            eng = build_resnet_engine(fm, capture=node,
+                                      requant_mode='reference')
+            got = np.asarray(eng(images)).astype(np.int64)
+            got = got.reshape(want[node].shape)
+            np.testing.assert_array_equal(
+                got, want[node].astype(np.int64),
+                err_msg=f'{arch}/{scheme}:{node}')
+        logits = np.asarray(
+            build_resnet_engine(fm, requant_mode='reference')(images))
+    np.testing.assert_array_equal(logits, want['logits'],
+                                  err_msg=f'{arch}/{scheme}:logits')

@@ -118,6 +118,40 @@ def test_trainer_inception_frozen_artifact(tmp_path):
     assert logits.shape == (1, 10) and np.isfinite(logits).all()
 
 
+def test_trainer_v2_family_end_to_end(tmp_path):
+    """The pre-activation v2 family trains through the Trainer (L5→L4
+    wiring): train → per-epoch frozen artifact → v2 engine, with the engine
+    bit-exact against the trained QAT graph (same integer-logit criterion as
+    tests/test_resnet_v2.py)."""
+    from hawq_tpu.utils.checkpoint import load_frozen
+    from hawq_tpu.inference.engine_v2 import build_resnet_v2_engine
+
+    t = Trainer(_cfg(tmp_path, arch='tiny18v2'))
+    assert type(t.model).__name__ == 'QResNetV2'
+    t.calibrate()
+    t.train_epoch(0)
+    t.evaluate()
+    t.save_checkpoint(0, False)
+
+    fm = load_frozen(str(tmp_path / 'quantized_checkpoint.npz'))
+    assert fm.arch == 'tiny18v2'
+    eng = build_resnet_v2_engine(fm)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 32, 32, 3).astype(np.float32))
+    logits = np.asarray(eng(x))
+    assert logits.shape == (2, 10) and np.isfinite(logits).all()
+
+    # parity: trained QAT graph (frozen stats, folded) == integer engine
+    v = t.state.variables()
+    qat = np.asarray(jax.jit(
+        lambda v, x: t.model.apply(v, x, folded=True,
+                                   update_stats=False))(v, x))
+    out_scale = (fm['quant_output.weight_scale'].astype(np.float64)
+                 * np.float64(fm.act_scale('quant_act_output')))
+    qi, ei = np.round(qat / out_scale), np.round(logits / out_scale)
+    assert int(np.sum(qi != ei)) == 0
+
+
 def test_trainer_quant_overrides_and_eval_only(tmp_path):
     """CLI quant flags reach QuantSettings; --evaluate runs no train step."""
     t = Trainer(_cfg(tmp_path, act_percentile=99.9, channel_wise=0,
@@ -137,6 +171,51 @@ def test_trainer_kd_random_teacher_warns(tmp_path):
     Trainer(_cfg(tmp_path, distill_alpha=0.9))
     log = (tmp_path / 'log.log').read_text()
     assert 'randomly initialized' in log
+
+
+def test_trainer_kd_teacher_checkpoint_end_to_end(tmp_path):
+    """--teacher-checkpoint driven for real: synthetic-train a tiny float
+    teacher, save it, distill a quantized student from it through the
+    Trainer (train_kd + teacher restore, quant_train.py:442-449, 533-622)."""
+    from hawq_tpu.models.resnet import FloatResNet
+    from hawq_tpu.utils import checkpoint as ckpt
+
+    teacher = FloatResNet(arch='tiny18', num_classes=10)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 10, 8))
+    tvars = teacher.init(jax.random.PRNGKey(3), x)
+
+    def ce(params):
+        logits = teacher.apply(
+            {'params': params, 'batch_stats': tvars['batch_stats']}, x)
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(logp[jnp.arange(8), y])
+
+    params = tvars['params']
+    grad_fn = jax.jit(jax.value_and_grad(ce))
+    first_loss, _ = grad_fn(params)
+    for _ in range(5):
+        loss, g = grad_fn(params)
+        params = jax.tree.map(lambda p, gi: p - 0.5 * gi, params, g)
+    assert float(loss) < float(first_loss)      # the teacher actually trained
+
+    trained = {'params': params, 'batch_stats': tvars['batch_stats']}
+    tpath = str(tmp_path / 'teacher.npz')
+    ckpt.save_train_checkpoint(tpath, jax.tree.map(np.asarray, trained),
+                               {'arch': 'tiny18'})
+
+    t = Trainer(_cfg(tmp_path / 'student', distill_alpha=0.9,
+                     teacher_checkpoint=tpath, teacher_arch='tiny18'))
+    log = (tmp_path / 'student' / 'log.log').read_text()
+    assert 'randomly initialized' not in log    # the real-teacher path
+    # the restored teacher serves the trained weights, not an init
+    want = np.asarray(teacher.apply(trained, x))
+    np.testing.assert_allclose(np.asarray(t.teacher_fn(x)), want,
+                               rtol=1e-6, atol=1e-6)
+    t.calibrate()
+    epoch_loss = t.train_epoch(0)
+    assert np.isfinite(float(epoch_loss))
 
 
 def test_trainer_resume_float_and_quantized(tmp_path):
