@@ -70,6 +70,12 @@ def main():
     p.add_argument('--schemes', default='uniform8,uniform4',
                    help='comma list; fewer schemes = fewer fresh compiles '
                         '(no persistent compile cache over the TPU tunnel)')
+    p.add_argument('--residual-store-dtype', default=None,
+                   help="'bfloat16': store conv backward residuals in bf16 "
+                        "(value-exact for integer activations; halves the "
+                        "fwd->bwd HBM traffic — train/train.py)")
+    p.add_argument('--skip-fp32', action='store_true',
+                   help='skip the fp32 baseline (A/B probes)')
     args = p.parse_args()
 
     import jax
@@ -112,7 +118,9 @@ def main():
         v = jax.jit(lambda: model.init(jax.random.PRNGKey(0),
                                        batch['image'], **apply_kw))()
         state = TrainState.create(v, tx)
-        step = make_train_step(model, folded=apply_kw.get('folded', True))
+        step = make_train_step(
+            model, folded=apply_kw.get('folded', True),
+            residual_store_dtype=args.residual_store_dtype)
         return time_train_step(step, state, batch)
 
     results = {'batch': args.batch, 'image_size': args.image_size,
@@ -125,6 +133,13 @@ def main():
         t = measure(model, folded=True, update_stats=True)
         results[f'qat_{scheme}_ms_per_step'] = round(t * 1e3, 3)
         results[f'qat_{scheme}_images_per_sec'] = round(args.batch / t, 1)
+
+    if args.skip_fp32:
+        print(json.dumps(results))
+        if args.out:
+            with open(args.out, 'w') as f:
+                json.dump(results, f, indent=1)
+        return
 
     # fp32 baseline train step on the float twin
     import optax

@@ -38,6 +38,13 @@ def main(argv=None):
     p.add_argument('--num-classes', type=int, default=1000)
     p.add_argument('--probes', type=int, default=4)
     p.add_argument('--cpu', action='store_true')
+    p.add_argument('--published-traces', action='store_true',
+                   help="use the reference's published Hutchinson trace / "
+                        "ΔW² / params / BOPS arrays (ILP.ipynb cell 4 "
+                        "inputs, configs/data/ilp_inputs_<arch>.json) "
+                        "instead of estimating traces — the exact notebook "
+                        "recipe with the measured TPU latency LUT swapped "
+                        "in for the T4 one")
     p.add_argument('--out', default=None)
     args = p.parse_args(argv)
 
@@ -63,26 +70,6 @@ def main(argv=None):
         from hawq_tpu.models.resnet import QResNet
         model = QResNet(arch=args.arch, cfg=cfg8,
                         num_classes=args.num_classes)
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(args.batch, args.image_size, args.image_size, 3)
-                    .astype(np.float32))
-    y = jnp.asarray(rng.randint(0, args.num_classes, (args.batch,)))
-
-    variables = model.init(jax.random.PRNGKey(0), x, folded=True,
-                           update_stats=True)
-    if args.checkpoint:
-        loaded, _ = ckpt.load_train_checkpoint(args.checkpoint)
-        variables = loaded
-
-    def loss_fn(params):
-        logits = model.apply({**variables, 'params': params}, x,
-                             folded=True, update_stats=False)
-        return cross_entropy(logits, y)
-
-    print('estimating Hessian traces...', flush=True)
-    traces = conv_layer_traces(hutchinson_layer_traces(
-        loss_fn, variables['params'], n_probes=args.probes))
-
     lut = None
     if args.mode == 'latency':
         lut_path = os.path.join(os.path.dirname(os.path.dirname(
@@ -91,14 +78,45 @@ def main(argv=None):
         with open(lut_path) as f:
             lut = {k: tuple(v) for k, v in json.load(f).items()}
 
-    if args.arch == 'mobilenetv2':
-        costs = mobilenet_layer_costs(variables['params'], traces,
-                                      input_size=args.image_size,
-                                      latency_lut=lut)
+    if args.published_traces:
+        # ILP.ipynb's own inputs; only the latency columns are replaced by
+        # the measured TPU LUT (the notebook's T4 LUT analog)
+        import dataclasses
+        from hawq_tpu.sensitivity.ilp import published_ilp_inputs
+        costs = published_ilp_inputs(args.arch)
+        if lut is not None:
+            costs = [dataclasses.replace(
+                c, latency4=lut[c.key][0], latency8=lut[c.key][1])
+                for c in costs]
     else:
-        costs = resnet_layer_costs(args.arch, variables['params'], traces,
-                                   input_size=args.image_size,
-                                   latency_lut=lut)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(args.batch, args.image_size,
+                                 args.image_size, 3).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, args.num_classes, (args.batch,)))
+
+        variables = model.init(jax.random.PRNGKey(0), x, folded=True,
+                               update_stats=True)
+        if args.checkpoint:
+            loaded, _ = ckpt.load_train_checkpoint(args.checkpoint)
+            variables = loaded
+
+        def loss_fn(params):
+            logits = model.apply({**variables, 'params': params}, x,
+                                 folded=True, update_stats=False)
+            return cross_entropy(logits, y)
+
+        print('estimating Hessian traces...', flush=True)
+        traces = conv_layer_traces(hutchinson_layer_traces(
+            loss_fn, variables['params'], n_probes=args.probes))
+
+        if args.arch == 'mobilenetv2':
+            costs = mobilenet_layer_costs(variables['params'], traces,
+                                          input_size=args.image_size,
+                                          latency_lut=lut)
+        else:
+            costs = resnet_layer_costs(args.arch, variables['params'],
+                                       traces, input_size=args.image_size,
+                                       latency_lut=lut)
     print(f'{len(costs)} quantizable layers; solving {args.mode} '
           f'@ {args.fraction}...', flush=True)
     alloc = allocate_bits(costs, args.mode, args.fraction)

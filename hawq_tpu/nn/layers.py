@@ -42,6 +42,36 @@ from hawq_tpu.quant import ops as qops
 # Exact integer conv / matmul with STE backward
 # ---------------------------------------------------------------------------
 
+# Storage dtype for the conv save-for-backward residuals (x_int, w_int).
+# Both are integer-valued floats bounded by the 8-bit ranges (|x_int| ≤ 128,
+# |w_int| ≤ 127), and bf16 represents integers up to 256 exactly — so
+# 'bfloat16' halves the dominant fwd→bwd HBM traffic of the train step with
+# value-exact residuals (the one non-integer case, the image-input x_int of
+# the init conv, is perturbed by ≤2⁻⁸ relative on that conv's dw only).
+# None keeps the reference-faithful f32 floats.  Trace-time setting — use
+# the context manager (make_train_step does).
+_RES_STORE_DTYPE = [None]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def residual_store_dtype(dt):
+    """Trace-time override of the backward-residual storage dtype."""
+    old = _RES_STORE_DTYPE[0]
+    _RES_STORE_DTYPE[0] = dt
+    try:
+        yield
+    finally:
+        _RES_STORE_DTYPE[0] = old
+
+
+def _store(t):
+    dt = _RES_STORE_DTYPE[0]
+    return t if dt is None else t.astype(dt)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def int_conv2d(x_int: jnp.ndarray, w_int: jnp.ndarray, bias_int: jnp.ndarray,
                strides: Tuple[int, int], padding: Any,
@@ -80,11 +110,11 @@ def _float_conv(x, w, strides, padding, feature_group_count):
 def _int_conv2d_fwd(x_int, w_int, bias_int, strides, padding,
                     feature_group_count):
     return int_conv2d(x_int, w_int, bias_int, strides, padding,
-                      feature_group_count), (x_int, w_int)
+                      feature_group_count), (_store(x_int), _store(w_int))
 
 
 def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
-    x_int, w_int = res
+    x_int, w_int = (r.astype(jnp.float32) for r in res)
     _, vjp = jax.vjp(
         lambda x, w: _float_conv(x, w, strides, padding, feature_group_count),
         x_int, w_int)
@@ -166,8 +196,7 @@ class QuantAct(nn.Module):
             # the b64 train-step backward (benchmarks/train_breakdown).
             xd = jax.lax.stop_gradient(x)
             if self.percentile == 0:
-                cur_min = jnp.min(xd)
-                cur_max = jnp.max(xd)
+                cur_min, cur_max = qops.fused_minmax(xd)
             elif self.quant_mode == 'symmetric':
                 cur_min, cur_max = qops.percentile_bounds(
                     xd.reshape(-1), 100.0 - self.percentile, self.percentile)

@@ -133,6 +133,25 @@ def asymmetric_quant_scale(num_bits: int, sat_min: jnp.ndarray,
     return exact(exact_div(jnp.clip(sat_max - sat_min, min=_EPS), n))
 
 
+def fused_minmax(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(min, max) of an activation tensor — the measured-best formulation.
+
+    jnp.min + jnp.max lower to two separate reduction kernels, each
+    re-reading the tensor — but each pass runs AT the HBM read roofline
+    (205 MB in 0.622 ms ≈ 660 GB/s, v5e), and every one-pass alternative
+    measured WORSE: XLA's variadic (min,max) reduce 1.794 ms (3×), a
+    pallas one-pass kernel (kernels/reduce.py) 0.899 ms fed layout-native
+    2D and 1.535 ms fed NHWC (the mandatory in-graph case — XLA inserts a
+    ~0.64 ms relayout copy before the custom call), a running-accumulator
+    variant 1.632 ms.  The custom-call read rate (~230 GB/s) never
+    approaches XLA's own reduction DMA.  So the two-pass jnp formulation
+    stays; the pallas kernel is kept exactness-tested as the alternative
+    for future toolchains.  (benchmarks/train_breakdown_b64.json
+    minmax_isolated_205MB.)
+    """
+    return jnp.min(x), jnp.max(x)
+
+
 def percentile_bounds(x_flat: jnp.ndarray, lower_pct: float,
                       upper_pct: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Percentile min/max of a flat tensor — exact order statistics with the

@@ -104,7 +104,8 @@ def make_train_step(model, *, folded: bool,
                     distill_alpha: Optional[float] = None,
                     temperature: float = 6.0, mesh=None,
                     rng_seed: int = 0,
-                    matmul_precision: Optional[str] = None) -> Callable:
+                    matmul_precision: Optional[str] = None,
+                    residual_store_dtype: Optional[str] = None) -> Callable:
     """Build the jitted QAT train step.
 
     ``folded`` selects the BN mode statically (two compiled versions; the
@@ -124,6 +125,12 @@ def make_train_step(model, *, folded: bool,
     (benchmarks/train_breakdown_b64.json) — so this knob only matters if
     a future change re-introduces f32-precision float contractions.
     Forward integer numerics are bit-identical in either mode.
+
+    ``residual_store_dtype``: storage dtype for the conv backward residuals
+    (x_int, w_int) — 'bfloat16' halves the dominant fwd→bwd HBM traffic
+    with value-exact residuals (conv inputs are integer-valued within the
+    8-bit range, which bf16 represents exactly; see nn/layers.py).  None
+    keeps the reference-faithful f32 floats.
     """
 
     def train_step(state: TrainState, batch: Mapping) -> Tuple[TrainState, Mapping]:
@@ -148,13 +155,18 @@ def make_train_step(model, *, folded: bool,
                 loss = cross_entropy(logits, batch['label'])
             return loss, (logits, mut)
 
-        if matmul_precision is None:
+        import contextlib
+        from hawq_tpu.nn import layers as _L
+        ctx = contextlib.ExitStack()
+        # both contexts apply at trace time (this function body IS the trace)
+        if residual_store_dtype is not None:
+            ctx.enter_context(
+                _L.residual_store_dtype(jnp.dtype(residual_store_dtype)))
+        if matmul_precision is not None:
+            ctx.enter_context(jax.default_matmul_precision(matmul_precision))
+        with ctx:
             (loss, (logits, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
-        else:
-            with jax.default_matmul_precision(matmul_precision):
-                (loss, (logits, mut)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
         params = optax.apply_updates(state.params, updates)

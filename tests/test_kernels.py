@@ -204,3 +204,29 @@ def test_folded_maxpool_kernel_bit_exact():
             got = np.asarray(maxpool_folded(jnp.asarray(xf), interpret=True))
             np.testing.assert_array_equal(got, want,
                                           err_msg=f'{dt} {shape}')
+
+
+@pytest.mark.slow
+class TestMinMax1Pass:
+    """kernels/reduce.py one-pass range reduction == jnp.min/jnp.max."""
+
+    def test_exact_and_tail_handling(self):
+        from hawq_tpu.kernels.reduce import minmax_1pass
+        rng = np.random.RandomState(3)
+        for shape in [(2, 56, 56, 128),        # whole blocks
+                      (131072 + 777,),         # blocks + ragged tail
+                      (777,)]:                 # tail only (jnp fallback)
+            x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+            with pltpu.force_tpu_interpret_mode():
+                mn, mx = minmax_1pass(x)
+            assert float(mn) == float(jnp.min(x)), shape
+            assert float(mx) == float(jnp.max(x)), shape
+
+    def test_fused_minmax_dispatch_cpu(self):
+        # CPU backend keeps the jnp path (no pallas) and stays exact
+        from hawq_tpu.quant.ops import fused_minmax
+        x = jnp.asarray(np.random.RandomState(4)
+                        .randn(4, 64, 64, 64).astype(np.float32))
+        mn, mx = jax.jit(fused_minmax)(x)
+        assert float(mn) == float(jnp.min(x))
+        assert float(mx) == float(jnp.max(x))
