@@ -94,7 +94,7 @@ def build(batch):
             h = requant8(conv(xa, wf1[u], fgc=4))       # (N,28,28,4M)
             # phase conv: each output phase from a 2×2 window over all
             # input phases; pad to keep 28×28
-            hp = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
+            hp = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
             phases = [requant8(conv(hp[:, dy:dy + Hq + 1, dx:dx + Hq + 1, :],
                                     wf2[u][p]))
                       for p, (dy, dx) in enumerate(

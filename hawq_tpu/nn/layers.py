@@ -114,12 +114,36 @@ def _int_conv2d_fwd(x_int, w_int, bias_int, strides, padding,
 
 
 def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
-    x_int, w_int = (r.astype(jnp.float32) for r in res)
-    _, vjp = jax.vjp(
-        lambda x, w: _float_conv(x, w, strides, padding, feature_group_count),
-        x_int, w_int)
-    dx, dw = vjp(g)
-    return (dx, dw, jnp.sum(g, axis=(0, 1, 2)))
+    x_int, w_int = res
+    if x_int.dtype == jnp.float32:
+        _, vjp = jax.vjp(
+            lambda x, w: _float_conv(x, w, strides, padding,
+                                     feature_group_count),
+            x_int, w_int)
+        dx, dw = vjp(g)
+        return (dx, dw, jnp.sum(g, axis=(0, 1, 2)))
+
+    # reduced-precision backward: residuals were stored narrow (value-exact
+    # for integer activations); run the gradient convolutions entirely on
+    # narrow operands/cotangents — upcasting them back to f32 materializes
+    # convert copies that eat the entire traffic saving (measured neutral,
+    # 38.23 vs 38.10 ms at resnet50 b64).  The cotangent truncation is the
+    # one numerics deviation (~2⁻⁸ relative on conv gradients) — opt-in
+    # via make_train_step(residual_store_dtype=...).
+    dt = x_int.dtype
+
+    def conv_dt(x, w):
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(
+            x, w, strides, padding, dimension_numbers=dn,
+            feature_group_count=feature_group_count,
+            preferred_element_type=dt)
+
+    _, vjp = jax.vjp(conv_dt, x_int, w_int)
+    dx, dw = vjp(g.astype(dt))
+    return (dx.astype(jnp.float32), dw.astype(jnp.float32),
+            jnp.sum(g, axis=(0, 1, 2)))
 
 
 int_conv2d.defvjp(_int_conv2d_fwd, _int_conv2d_bwd)
