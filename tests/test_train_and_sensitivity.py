@@ -84,6 +84,46 @@ class TestHessian:
         convs = conv_layer_traces(traces)
         assert set(convs) == {'a', 'b'}
 
+    def test_hutchinson_under_mesh_matches_single_device(self):
+        """Hutchinson traces through the real QAT graph with the calibration
+        batch sharded over the 8-device data mesh equal the single-device
+        traces (same probes; GSPMD only changes the reduction layout)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from hawq_tpu.configs.bit_config import get_bit_config
+        from hawq_tpu.models.resnet import QResNet
+        from hawq_tpu.parallel.mesh import make_mesh
+        from hawq_tpu.train.train import cross_entropy
+
+        cfg = get_bit_config('tiny18', 'uniform8')
+        model = QResNet(arch='tiny18', cfg=cfg, num_classes=10)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(8, 32, 32, 3).astype(np.float32))
+        y = jnp.asarray(rng.randint(0, 10, 8))
+        variables = model.init(jax.random.PRNGKey(0), x, folded=True,
+                               update_stats=True)
+
+        def make_loss(xb, yb):
+            def loss_fn(params):
+                logits = model.apply({**variables, 'params': params}, xb,
+                                     folded=True, update_stats=False)
+                return cross_entropy(logits, yb)
+            return loss_fn
+
+        single = hutchinson_layer_traces(make_loss(x, y),
+                                         variables['params'], n_probes=2)
+
+        mesh = make_mesh(n_data=8, n_model=1)
+        xs = jax.device_put(x, NamedSharding(mesh, P('data')))
+        ys = jax.device_put(y, NamedSharding(mesh, P('data')))
+        sharded = hutchinson_layer_traces(make_loss(xs, ys),
+                                          variables['params'], n_probes=2)
+
+        assert set(single) == set(sharded)
+        for k in single:
+            np.testing.assert_allclose(sharded[k], single[k],
+                                       rtol=1e-4, atol=1e-8, err_msg=k)
+
     def test_perturbation_monotone_in_bits(self):
         rng = np.random.RandomState(0)
         w = rng.randn(3, 3, 8, 16).astype(np.float32)
