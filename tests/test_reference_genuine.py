@@ -434,3 +434,81 @@ def test_genuine_chain_matches_reference_mode_engine(arch, scheme, tmp_path):
             build_resnet_engine(fm, requant_mode='reference')(images))
     np.testing.assert_array_equal(logits, want['logits'],
                                   err_msg=f'{arch}/{scheme}:logits')
+
+
+# ---------------------------------------------------------------------------
+# 4. remaining genuine-module cases: multi-branch concat requant (the
+#    InceptionV3 path) and the bare QuantConv2d (the MobileNetV2 head)
+# ---------------------------------------------------------------------------
+
+def test_genuine_quantact_multibranch_matches_oracle():
+    """QuantAct's multi-branch case (quant_modules.py:275-286): per-channel-
+    slice fixedpoint requant with per-branch scales and weight-scale ratio 1
+    — the semantics the inception engine's branch-concat requant implements
+    via reference_oracle."""
+    rng = np.random.RandomState(6)
+    chans = [8, 16, 8]
+    scales = [np.float32(s) for s in (0.011, 0.023, 0.0047)]
+    ints = [rng.randint(-2 ** 14, 2 ** 14, (2, c, 5, 5)).astype(np.float64)
+            for c in chans]
+    x = torch.from_numpy(np.concatenate(
+        [i * np.float64(s) for i, s in zip(ints, scales)], axis=1)).float()
+
+    qa = QM.QuantAct(activation_bit=8, quant_mode='symmetric')
+    with torch.no_grad():
+        qa.x_min += -1.9
+        qa.x_max += 2.3
+    qa.fix()
+    out, s_out = qa((x, [torch.tensor([float(s)]) for s in scales], chans))
+    got = torch.round(out / s_out.view(-1)).numpy()
+
+    s_np = np.float32(s_out.item())
+    start = 0
+    for i, (c, s) in enumerate(zip(chans, scales)):
+        want = ro.requant_ref(np.transpose(ints[i], (0, 2, 3, 1)),
+                              s * np.float32(1.0), s_np, 8, True)
+        np.testing.assert_array_equal(
+            np.transpose(got[:, start:start + c], (0, 2, 3, 1)),
+            want, err_msg=f'branch {i}')
+        start += c
+
+
+def test_genuine_bare_quantconv2d_matches_repo_layer():
+    """The bare QuantConv2d (quant_modules.py:605-736, the MobileNetV2 1×1
+    output head) against the repo's nn.QuantConv2d with identical weights:
+    same integer accumulators, same weight scales."""
+    import jax
+    import jax.numpy as jnp
+    from hawq_tpu.nn.layers import QuantConv2d as RepoConv
+
+    rng = np.random.RandomState(8)
+    cin, cout = 6, 12
+    w = (rng.randn(cout, cin, 1, 1) * 0.3).astype(np.float32)
+    b = (rng.randn(cout) * 0.1).astype(np.float32)
+    s_in = np.float32(0.021)
+    x_int = rng.randint(-128, 128, (2, cin, 4, 4)).astype(np.float32)
+    x = torch.from_numpy(x_int * s_in)
+
+    conv = torch.nn.Conv2d(cin, cout, 1, bias=True)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+        conv.bias.copy_(torch.from_numpy(b))
+    qc = QM.QuantConv2d(weight_bit=8, bias_bit=32, per_channel=True,
+                        quant_mode='symmetric')
+    qc.set_param(conv)
+    qc.fix()
+    t_out, t_wscale = qc(x, torch.tensor([float(s_in)]))
+    bias_scale = t_wscale.numpy().astype(np.float64) * np.float64(s_in)
+    t_acc = np.round(np.transpose(t_out.detach().numpy(), (0, 2, 3, 1))
+                     / bias_scale.reshape(1, 1, 1, -1))
+
+    layer = RepoConv(features=cout, kernel_size=(1, 1), weight_bit=8,
+                     bias_bit=32, per_channel=True, use_bias=True)
+    params = {'params': {'kernel': jnp.asarray(
+        np.transpose(w, (2, 3, 1, 0))), 'bias': jnp.asarray(b)}}
+    j_out, j_wscale, j_acc = layer.apply(
+        params, jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1))),
+        jnp.float32(s_in))
+
+    np.testing.assert_array_equal(np.asarray(j_wscale), t_wscale.numpy())
+    np.testing.assert_array_equal(np.asarray(j_acc), t_acc)
