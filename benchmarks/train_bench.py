@@ -135,10 +135,7 @@ def main():
         results[f'qat_{scheme}_images_per_sec'] = round(args.batch / t, 1)
 
     if args.skip_fp32:
-        print(json.dumps(results))
-        if args.out:
-            with open(args.out, 'w') as f:
-                json.dump(results, f, indent=1)
+        _emit(results, args.out)
         return
 
     # fp32 baseline train step on the float twin
@@ -176,10 +173,13 @@ def main():
     results['fp32_images_per_sec'] = round(args.batch / t_f32, 1)
     results['qat_vs_fp32'] = round(
         t_f32 / (results['qat_uniform8_ms_per_step'] / 1e3), 3)
+    _emit(results, args.out)
 
+
+def _emit(results, out_path):
     print(json.dumps(results))
-    if args.out:
-        with open(args.out, 'w') as f:
+    if out_path:
+        with open(out_path, 'w') as f:
             json.dump(results, f, indent=1)
 
 

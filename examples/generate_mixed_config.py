@@ -81,12 +81,16 @@ def main(argv=None):
     if args.published_traces:
         # ILP.ipynb's own inputs; only the latency columns are replaced by
         # the measured TPU LUT (the notebook's T4 LUT analog)
+        if args.checkpoint:
+            p.error('--published-traces uses the reference trace arrays; '
+                    '--checkpoint has no effect — drop one of the two')
         import dataclasses
         from hawq_tpu.sensitivity.ilp import published_ilp_inputs
-        costs = published_ilp_inputs(args.arch)
+        costs = published_ilp_inputs(args.arch)   # resnet18/50 only
         if lut is not None:
             costs = [dataclasses.replace(
-                c, latency4=lut[c.key][0], latency8=lut[c.key][1])
+                c, latency4=lut.get(c.key, (0.0, 0.0))[0],
+                latency8=lut.get(c.key, (0.0, 0.0))[1])
                 for c in costs]
     else:
         rng = np.random.RandomState(0)

@@ -67,7 +67,17 @@ def _load_frozen_or_synthetic(args) -> FrozenModel:
     if args.frozen:
         from hawq_tpu.utils.checkpoint import load_frozen
         return load_frozen(args.frozen)
-    if args.arch.endswith('v2'):
+    from hawq_tpu.configs.bit_config import RESNET_UNITS
+    if args.arch in ('mobilenetv2', 'mobilenetv2_w1'):
+        from hawq_tpu.inference.synthetic import synthetic_frozen_mobilenet
+        return synthetic_frozen_mobilenet(
+            get_bit_config(args.arch, args.scheme))
+    if args.arch == 'inceptionv3':
+        from hawq_tpu.inference.synthetic import synthetic_frozen_inception
+        return synthetic_frozen_inception(
+            get_bit_config(args.arch, args.scheme))
+    if args.arch.endswith('v2') and args.arch[:-2] in RESNET_UNITS:
+        # pre-activation resnet v2 ('mobilenetv2' is dispatched above)
         from hawq_tpu.inference.synthetic import synthetic_frozen_resnet_v2
         return synthetic_frozen_resnet_v2(
             args.arch, get_bit_config(args.arch, args.scheme))

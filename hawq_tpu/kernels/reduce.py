@@ -63,9 +63,10 @@ def _minmax_body(body2d: jnp.ndarray):
 def minmax_1pass(x: jnp.ndarray):
     """(min, max) of x in one HBM pass (pallas body + jnp tail).
 
-    The flattened prefix that fills whole (512, 128) blocks goes through
-    the kernel; the remainder (< 64K elements) is reduced with jnp and
-    merged — reshapes of a contiguous flatten are views, so no copy.
+    The flattened prefix that fills whole (_BLOCK_ROWS, 128) blocks goes
+    through the kernel; the remainder (< _CHUNK = _BLOCK_ROWS·128
+    elements) is reduced with jnp and merged — reshapes of a contiguous
+    flatten are views, so no copy.
     """
     xf = x.reshape(-1)
     n = xf.shape[0]

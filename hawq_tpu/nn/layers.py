@@ -49,7 +49,9 @@ from hawq_tpu.quant import ops as qops
 # value-exact residuals (the one non-integer case, the image-input x_int of
 # the init conv, is perturbed by ≤2⁻⁸ relative on that conv's dw only).
 # None keeps the reference-faithful f32 floats.  Trace-time setting — use
-# the context manager (make_train_step does).
+# the context manager (make_train_step does).  NOT thread-safe: it is
+# process-global state read during tracing; build train steps sequentially
+# (the Trainer does) and never trace concurrently with the manager active.
 _RES_STORE_DTYPE = [None]
 
 
@@ -115,7 +117,11 @@ def _int_conv2d_fwd(x_int, w_int, bias_int, strides, padding,
 
 def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
     x_int, w_int = res
-    if x_int.dtype == jnp.float32:
+    # Narrow-residual dispatch keys on the residual dtype being one of the
+    # explicit narrow storage dtypes, so full-precision paths — f32, and
+    # f64 under jax x64 — always take the faithful branch and return
+    # gradients in the primal dtype as custom_vjp requires.
+    if x_int.dtype not in (jnp.bfloat16, jnp.float16):
         _, vjp = jax.vjp(
             lambda x, w: _float_conv(x, w, strides, padding,
                                      feature_group_count),
@@ -142,7 +148,7 @@ def _int_conv2d_bwd(strides, padding, feature_group_count, res, g):
 
     _, vjp = jax.vjp(conv_dt, x_int, w_int)
     dx, dw = vjp(g.astype(dt))
-    return (dx.astype(jnp.float32), dw.astype(jnp.float32),
+    return (dx.astype(g.dtype), dw.astype(g.dtype),
             jnp.sum(g, axis=(0, 1, 2)))
 
 

@@ -328,6 +328,12 @@ class Trainer:
         variables, meta, opt_leaves = ckpt.load_train_checkpoint(
             path, return_opt=True)
         cur = self.state.variables()
+        self._restored_quant_stats = quantized and 'quant_stats' in variables
+        if quantized and not self._restored_quant_stats:
+            self.log.warning(
+                '--resume-quantize on a checkpoint without quantization '
+                'state (%s) — activation ranges stay fresh and will be '
+                'calibrated', path)
         merged = {'params': variables.get('params', cur['params']),
                   'quant_stats': (variables.get('quant_stats',
                                                 cur['quant_stats'])
@@ -452,8 +458,10 @@ class Trainer:
     def run(self):
         # a quantized resume restores trained activation ranges — do not
         # recalibrate over them (the reference evaluates/trains straight
-        # from the restored buffers, quant_train.py:304-318, 455-458)
-        if not (self.cfg.resume and self.cfg.resume_quantize):
+        # from the restored buffers, quant_train.py:304-318, 455-458);
+        # if the checkpoint carried no quant_stats the ranges are fresh
+        # and calibration still runs (with a warning from _resume)
+        if not getattr(self, '_restored_quant_stats', False):
             self.calibrate()
         if self.cfg.evaluate:       # eval-only (quant_train.py:455-458)
             return self.evaluate()

@@ -97,6 +97,16 @@ def test_deploy_synthetic_v2_arch(capsys):
     assert 'arch=tiny18v2' in out and 'deployed_size=' in out
 
 
+def test_deploy_synthetic_mobilenet_not_misrouted_as_v2(capsys):
+    """'mobilenetv2' ends in 'v2' but must dispatch to the mobilenet
+    synthetic workload, not the pre-activation resnet-v2 one."""
+    rc = deploy.main(['--arch', 'mobilenetv2', '--scheme', 'uniform8',
+                      '--image-size', '64', '--batch', '1'])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert 'arch=mobilenetv2' in out
+
+
 def test_deploy_folded_input_mode(frozen_path, capsys):
     """--input-mode folded_float32 folds on host and classifies identically
     to the direct path (same synthetic input, same RNG)."""

@@ -152,6 +152,27 @@ def test_trainer_v2_family_end_to_end(tmp_path):
     assert int(np.sum(qi != ei)) == 0
 
 
+def test_resume_quantize_without_quant_stats_recalibrates(tmp_path):
+    """--resume-quantize on a checkpoint that carries no quantization state
+    (e.g. a float-only artifact) must warn and fall back to calibration
+    instead of silently evaluating with degenerate fresh ranges."""
+    from hawq_tpu.utils import checkpoint as ckpt
+
+    donor = Trainer(_cfg(tmp_path / 'donor', use_mesh=False))
+    variables = jax.tree.map(np.asarray, donor.state.variables())
+    variables.pop('quant_stats')          # a weights-only artifact
+    path = str(tmp_path / 'float_only.npz')
+    ckpt.save_train_checkpoint(path, variables, {})
+
+    t = Trainer(_cfg(tmp_path / 'run', use_mesh=False, evaluate=True,
+                     resume=path, resume_quantize=True))
+    assert not t._restored_quant_stats
+    t.run()
+    log = (tmp_path / 'run' / 'log.log').read_text()
+    assert 'without quantization state' in log
+    assert 'calibrated on' in log        # calibration still ran
+
+
 def test_trainer_quant_overrides_and_eval_only(tmp_path):
     """CLI quant flags reach QuantSettings; --evaluate runs no train step."""
     t = Trainer(_cfg(tmp_path, act_percentile=99.9, channel_wise=0,
