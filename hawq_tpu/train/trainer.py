@@ -79,6 +79,11 @@ class TrainerConfig:
                                      # convs: None = f32-faithful default;
                                      # 'bfloat16' = 1.7x faster step
                                      # (train/train.py make_train_step)
+    residual_store_dtype: Optional[str] = None   # 'bfloat16': narrow conv
+                                     # backward residuals + bf16 gradient
+                                     # convs (value-exact storage, ~2e-3
+                                     # relative gradient deviation;
+                                     # measured -1.4% step time at b64)
     workers: int = 4                 # loader threads (-j/--workers)
     start_epoch: int = 0             # epoch offset (--start-epoch)
     # QuantSettings overrides — the reference's quant argparse tier
@@ -396,7 +401,9 @@ class Trainer:
                                   distill_alpha=cfg.distill_alpha,
                                   temperature=cfg.temperature,
                                   mesh=self.mesh, rng_seed=cfg.seed,
-                                  matmul_precision=cfg.grad_precision)
+                                  matmul_precision=cfg.grad_precision,
+                                  residual_store_dtype=
+                                  cfg.residual_store_dtype)
         # mid-epoch evaluation (train_kd evaluate_times,
         # quant_train.py:591-610)
         eval_every = None
@@ -482,7 +489,7 @@ def main(argv=None):
                   'teacher_checkpoint': str, 'bias_bit': int,
                   'channel_wise': int, 'act_percentile': float,
                   'weight_percentile': float, 'act_range_momentum': float,
-                  'grad_precision': str}
+                  'grad_precision': str, 'residual_store_dtype': str}
     for f in dataclasses.fields(TrainerConfig):
         name = '--' + f.name.replace('_', '-')
         if isinstance(f.default, bool):
