@@ -512,3 +512,192 @@ def test_genuine_bare_quantconv2d_matches_repo_layer():
 
     np.testing.assert_array_equal(np.asarray(j_wscale), t_wscale.numpy())
     np.testing.assert_array_equal(np.asarray(j_acc), t_acc)
+
+
+def test_genuine_linear_bottleneck_matches_repo_unit():
+    """The MobileNetV2 inverted-residual unit: the GENUINE Q_LinearBottleneck
+    (q_mobilenetv2.py:12-92 — ReLU6, depthwise 3×3, int32-scale residual
+    identity) vs the repo's QLinearBottleneck with identical weights, BN
+    statistics, and calibrated ranges: same output scale, same integers.
+    Covers all three unit forms (residual, strided downsample, no
+    expansion)."""
+    _import_reference()
+    QMn = importlib.import_module('refutils.models.q_mobilenetv2')
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.mobilenetv2 import QLinearBottleneck
+
+    for case in ('residual', 'downsample', 'no_expansion'):
+        residual = case == 'residual'
+        expansion = case != 'no_expansion'
+        cin = 8
+        cout = 8 if residual else 12
+        stride = 2 if case == 'downsample' else 1
+        mid = cin * 6 if expansion else cin
+        rng = np.random.RandomState(10)
+
+        def mk(cin_, cout_, k, s, p, groups=1):
+            conv = torch.nn.Conv2d(cin_, cout_, k, s, p, groups=groups,
+                                   bias=False)
+            bn = torch.nn.BatchNorm2d(cout_)
+            with torch.no_grad():
+                conv.weight.copy_(torch.from_numpy(
+                    (rng.randn(*conv.weight.shape) * 0.3)
+                    .astype(np.float32)))
+                bn.weight.copy_(torch.from_numpy(
+                    (0.5 + rng.rand(cout_)).astype(np.float32)))
+                bn.bias.copy_(torch.from_numpy(
+                    (rng.randn(cout_) * 0.1).astype(np.float32)))
+            return types.SimpleNamespace(conv=conv, bn=bn)
+
+        funit = types.SimpleNamespace(
+            conv1=mk(cin, mid, 1, 1, 0),
+            conv2=mk(mid, mid, 3, stride, 1, groups=mid),
+            conv3=mk(mid, cout, 1, 1, 0))
+        unit = QMn.Q_LinearBottleneck(funit, in_channels=cin,
+                                      out_channels=cout, stride=stride,
+                                      expansion=expansion,
+                                      remove_exp_conv=False)
+        for name, m in unit.named_modules():
+            if isinstance(m, QM.QuantAct):
+                m.activation_bit = 16 if name == 'quant_act_int32' else 8
+                m.quant_mode = 'symmetric'
+            elif isinstance(m, QM.QuantBnConv2d):
+                m.weight_bit = 8
+                m.per_channel = True
+                m.bias_bit = 32
+                m.quantize_bias = True
+                m.quant_mode = 'symmetric'
+
+        s_in = np.float32(0.02)
+        x_int = rng.randint(-128, 128, (2, cin, 8, 8)).astype(np.float32)
+        xt = torch.from_numpy(x_int * s_in)
+        with torch.no_grad():
+            for i in range(3):
+                unit(xt * (1.0 + 0.1 * i), torch.tensor([float(s_in)]))
+        QM.freeze_model(unit)
+        with torch.no_grad():
+            t_out, t_scale = unit(xt, torch.tensor([float(s_in)]))
+        t_int = np.transpose(
+            torch.round(t_out / t_scale.view(-1)).numpy(), (0, 2, 3, 1))
+
+        p = 'features.stage1.unit1'
+        cfg = BitConfig(name='unit_anchor', table={
+            f'{p}.quant_act': 8, f'{p}.conv1': 8, f'{p}.quant_act1': 8,
+            f'{p}.conv2': 8, f'{p}.quant_act2': 8, f'{p}.conv3': 8,
+            f'{p}.quant_act_int32': 16})
+        layer = QLinearBottleneck(cfg=cfg, prefix=p, in_ch=cin,
+                                  out_ch=cout, stride=stride,
+                                  expansion=expansion)
+        xj = jnp.asarray(np.transpose(x_int * s_in, (0, 2, 3, 1)))
+        v = jax.tree.map(np.array, jax.device_get(layer.init(
+            jax.random.PRNGKey(0), xj, jnp.float32(s_in),
+            folded=True, update_stats=False)))
+
+        for name, g in (('conv1', funit.conv1), ('conv2', funit.conv2),
+                        ('conv3', funit.conv3)):
+            v['params'][name]['kernel'] = np.transpose(
+                g.conv.weight.detach().numpy(), (2, 3, 1, 0))
+            v['params'][name]['gamma'] = g.bn.weight.detach().numpy()
+            v['params'][name]['beta'] = g.bn.bias.detach().numpy()
+            v['batch_stats'][name]['mean'] = g.bn.running_mean.numpy()
+            v['batch_stats'][name]['var'] = g.bn.running_var.numpy()
+        for name, tmod in (('quant_act', unit.quant_act),
+                           ('quant_act1', unit.quant_act1),
+                           ('quant_act2', unit.quant_act2),
+                           ('quant_act_int32', unit.quant_act_int32)):
+            v['quant_stats'][name]['x_min'] = np.float32(tmod.x_min.item())
+            v['quant_stats'][name]['x_max'] = np.float32(tmod.x_max.item())
+
+        out, out_scale = layer.apply(v, xj, jnp.float32(s_in),
+                                     folded=True, update_stats=False)
+        assert float(out_scale) == float(t_scale), case
+        j_int = np.round(np.asarray(out) / float(out_scale))
+        np.testing.assert_array_equal(j_int, t_int.astype(np.float64),
+                                      err_msg=case)
+
+
+def test_genuine_inception_a_unit_matches_repo_unit():
+    """The InceptionV3 A-unit: genuine Q_InceptionAUnit (q_inceptionv3.py —
+    four branches through Q_Concurrent, per-branch scales, multi-branch
+    concat requant in q_rescaling_activ) vs the repo's _unit_a with
+    identical weights/BN/ranges: same output scale, same integers."""
+    _import_reference()
+    QIn = importlib.import_module('refutils.models.q_inceptionv3')
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.inceptionv3 import _unit_a
+
+    rng = np.random.RandomState(12)
+    cin = 32
+    b1 = types.SimpleNamespace(conv=_convbn(cin, 64, 1, 1, 0, rng))
+    b2 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, 48, 1, 1, 0, rng),
+        conv2=_convbn(48, 64, 5, 1, 2, rng)))
+    b3 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, 64, 1, 1, 0, rng),
+        conv2=_convbn(64, 96, 3, 1, 1, rng),
+        conv3=_convbn(96, 96, 3, 1, 1, rng)))
+    b4 = types.SimpleNamespace(conv=_convbn(cin, 16, 1, 1, 0, rng))
+    model_ns = types.SimpleNamespace(branches=types.SimpleNamespace(
+        branch1=b1, branch2=b2, branch3=b3, branch4=b4))
+    unit = QIn.Q_InceptionAUnit(model_ns, in_channels=cin, out_channels=240)
+
+    for name, m in unit.named_modules():
+        if isinstance(m, QM.QuantAct):
+            m.activation_bit = 8
+            m.quant_mode = 'symmetric'
+        elif isinstance(m, QM.QuantBnConv2d):
+            m.weight_bit = 8
+            m.per_channel = True
+            m.bias_bit = 32
+            m.quantize_bias = True
+            m.quant_mode = 'symmetric'
+
+    s_in = np.float32(0.03)
+    x_int = rng.randint(-128, 128, (2, cin, 8, 8)).astype(np.float32)
+    xt = torch.from_numpy(x_int * s_in)
+    with torch.no_grad():
+        for i in range(3):
+            unit((xt * (1.0 + 0.1 * i), torch.tensor([float(s_in)])))
+    QM.freeze_model(unit)
+    with torch.no_grad():
+        t_out, t_scale = unit((xt, torch.tensor([float(s_in)])))
+    t_int = np.transpose(
+        torch.round(t_out / t_scale.view(-1)).numpy(), (0, 2, 3, 1))
+
+    cfg = BitConfig(name='a_unit_anchor', table={})     # all-8 defaults
+    layer = _unit_a(cfg, 'features.stage1.unit1', 240, 'unit1')
+    xj = jnp.asarray(np.transpose(x_int * s_in, (0, 2, 3, 1)))
+    v = jax.tree.map(np.array, jax.device_get(layer.init(
+        jax.random.PRNGKey(0), xj, jnp.float32(s_in),
+        folded=True, update_stats=False)))
+
+    def flax_path(genuine_name):
+        return (genuine_name.replace('branches.', '')
+                .replace('q_conv_list.', '').split('.'))
+
+    def node(tree, path):
+        for part in path[:-1]:
+            tree = tree[part]
+        return tree, path[-1]
+
+    for name, m in unit.named_modules():
+        if isinstance(m, QM.QuantBnConv2d):
+            path = flax_path(name)
+            parent, leaf = node(v['params'], path)
+            parent[leaf]['kernel'] = np.transpose(
+                m.conv.weight.detach().numpy(), (2, 3, 1, 0))
+            parent[leaf]['gamma'] = m.bn.weight.detach().numpy()
+            parent[leaf]['beta'] = m.bn.bias.detach().numpy()
+            bparent, bleaf = node(v['batch_stats'], path)
+            bparent[bleaf]['mean'] = m.bn.running_mean.numpy()
+            bparent[bleaf]['var'] = m.bn.running_var.numpy()
+        elif isinstance(m, QM.QuantAct):
+            qparent, qleaf = node(v['quant_stats'], flax_path(name))
+            qparent[qleaf]['x_min'] = np.float32(m.x_min.item())
+            qparent[qleaf]['x_max'] = np.float32(m.x_max.item())
+
+    out, out_scale = layer.apply(v, xj, jnp.float32(s_in),
+                                 folded=True, update_stats=False)
+    assert float(out_scale) == float(t_scale)
+    j_int = np.round(np.asarray(out) / float(out_scale))
+    np.testing.assert_array_equal(j_int, t_int.astype(np.float64))
