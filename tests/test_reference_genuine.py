@@ -842,3 +842,61 @@ def test_genuine_inception_c_unit_matches_repo_unit():
     layer = _unit_c(BitConfig(name='c_unit_anchor', table={}),
                     'features.stage3.unit2', 'unit2')
     _anchor_inception_unit(unit, layer, cin, hw=8, seed=14)
+
+
+def test_genuine_inception_b_unit_matches_repo_unit():
+    """Genuine Q_InceptionBUnit (1×7/7×1 factorized-conv branches) vs the
+    repo's _unit_b: same scale, borderline-flip-bounded integers."""
+    _import_reference()
+    QIn = importlib.import_module('refutils.models.q_inceptionv3')
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.inceptionv3 import _unit_b
+
+    rng = np.random.RandomState(15)
+    cin, mid = 768, 128                 # hardcoded in=out=768 in the genuine
+    b1 = types.SimpleNamespace(conv=_convbn(cin, 192, 1, 1, 0, rng))
+    b2 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, mid, 1, 1, 0, rng),
+        conv2=_convbn(mid, mid, (1, 7), 1, (0, 3), rng),
+        conv3=_convbn(mid, 192, (7, 1), 1, (3, 0), rng)))
+    b3 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, mid, 1, 1, 0, rng),
+        conv2=_convbn(mid, mid, (7, 1), 1, (3, 0), rng),
+        conv3=_convbn(mid, mid, (1, 7), 1, (0, 3), rng),
+        conv4=_convbn(mid, mid, (7, 1), 1, (3, 0), rng),
+        conv5=_convbn(mid, 192, (1, 7), 1, (0, 3), rng)))
+    b4 = types.SimpleNamespace(conv=_convbn(cin, 192, 1, 1, 0, rng))
+    model_ns = types.SimpleNamespace(branches=types.SimpleNamespace(
+        branch1=b1, branch2=b2, branch3=b3, branch4=b4))
+    unit = QIn.Q_InceptionBUnit(model_ns, in_channels=cin, out_channels=768,
+                                mid_channels=mid)
+    layer = _unit_b(BitConfig(name='b_unit_anchor', table={}),
+                    'features.stage2.unit2', mid, 'unit2')
+    _anchor_inception_unit(unit, layer, cin, hw=8, seed=15)
+
+
+def test_genuine_reduction_b_unit_matches_repo_unit():
+    """Genuine Q_ReductionBUnit (factorized 7-convs then strided 3×3s + the
+    max-pool branch) vs the repo's _unit_reduction_b."""
+    _import_reference()
+    QIn = importlib.import_module('refutils.models.q_inceptionv3')
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.inceptionv3 import _unit_reduction_b
+
+    rng = np.random.RandomState(16)
+    cin = 768                           # hardcoded by the genuine unit
+    b1 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, 192, 1, 1, 0, rng),
+        conv2=_convbn(192, 320, 3, 2, 0, rng)))
+    b2 = types.SimpleNamespace(conv_list=types.SimpleNamespace(
+        conv1=_convbn(cin, 192, 1, 1, 0, rng),
+        conv2=_convbn(192, 192, (1, 7), 1, (0, 3), rng),
+        conv3=_convbn(192, 192, (7, 1), 1, (3, 0), rng),
+        conv4=_convbn(192, 192, 3, 2, 0, rng)))
+    model_ns = types.SimpleNamespace(branches=types.SimpleNamespace(
+        branch1=b1, branch2=b2))
+    unit = QIn.Q_ReductionBUnit(model_ns, in_channels=cin,
+                                out_channels=1280)
+    layer = _unit_reduction_b(BitConfig(name='red_b_anchor', table={}),
+                              'features.stage3.unit1', 'unit1')
+    _anchor_inception_unit(unit, layer, cin, hw=9, seed=16)
