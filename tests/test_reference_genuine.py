@@ -900,3 +900,100 @@ def test_genuine_reduction_b_unit_matches_repo_unit():
     layer = _unit_reduction_b(BitConfig(name='red_b_anchor', table={}),
                               'features.stage3.unit1', 'unit1')
     _anchor_inception_unit(unit, layer, cin, hw=9, seed=16)
+
+
+def test_genuine_incept_init_block_matches_repo():
+    """Genuine Q_InceptInitBlock (5-conv chain + 2 maxpools + the model's
+    input quantizer, q_inceptionv3.py:575-650) vs the repo's init section
+    (QInceptionV3 lines 321-334, replicated here as a standalone probe with
+    the same module names)."""
+    _import_reference()
+    QIn = importlib.import_module('refutils.models.q_inceptionv3')
+    from flax import linen as fnn
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.inceptionv3 import _InceptConv, _qact
+    from hawq_tpu.nn import layers as L
+
+    rng = np.random.RandomState(17)
+    model_ns = types.SimpleNamespace(
+        conv1=_convbn(3, 32, 3, 2, 0, rng),
+        conv2=_convbn(32, 32, 3, 1, 0, rng),
+        conv3=_convbn(32, 64, 3, 1, 1, rng),
+        conv4=_convbn(64, 80, 1, 1, 0, rng),
+        conv5=_convbn(80, 192, 3, 1, 0, rng))
+    unit = QIn.Q_InceptInitBlock(model_ns, in_channels=3, out_channels=192)
+    for name, m in unit.named_modules():
+        if isinstance(m, QM.QuantAct):
+            m.activation_bit = 8
+            m.quant_mode = 'symmetric'
+        elif isinstance(m, QM.QuantBnConv2d):
+            m.weight_bit = 8
+            m.per_channel = True
+            m.bias_bit = 32
+            m.quantize_bias = True
+            m.quant_mode = 'symmetric'
+
+    x_np = (rng.rand(2, 3, 75, 75).astype(np.float32)) * 2.0 - 1.0
+    xt = torch.from_numpy(x_np)
+    with torch.no_grad():
+        for i in range(3):
+            unit(xt * (1.0 + 0.1 * i))
+    QM.freeze_model(unit)
+    with torch.no_grad():
+        t_out, t_scale = unit(xt)
+    t_int = np.transpose(
+        torch.round(t_out / t_scale.view(-1)).numpy(), (0, 2, 3, 1))
+
+    cfg = BitConfig(name='init_anchor', table={})
+
+    class Probe(fnn.Module):
+        @fnn.compact
+        def __call__(self, x, *, folded=True, update_stats=False):
+            ip = 'features.q_init_block'
+            x, a_sf = _qact(cfg, f'{ip}.q_input_activ', 'q_input_activ')(
+                x, update_stats=update_stats)
+            for i, (c, k, s, p) in enumerate(
+                    zip((32, 32, 64, 80, 192), (3, 3, 3, 1, 3),
+                        (2, 1, 1, 1, 1), (0, 0, 1, 0, 0)), start=1):
+                x, a_sf = _InceptConv(cfg=cfg, prefix=f'{ip}.q_conv{i}',
+                                      features=c, kernel=k, stride=s,
+                                      padding=p, name=f'q_conv{i}')(
+                                          x, a_sf, folded=folded,
+                                          update_stats=update_stats)
+                if i in (3, 5):
+                    x, a_sf = L.quant_max_pool(x, a_sf, (3, 3), (2, 2),
+                                               'VALID')
+            return x, a_sf
+
+    layer = Probe()
+    xj = jnp.asarray(np.transpose(x_np, (0, 2, 3, 1)))
+    v = jax.tree.map(np.array, jax.device_get(layer.init(
+        jax.random.PRNGKey(0), xj, folded=True, update_stats=False)))
+
+    def flax_path(n):
+        return n.split('.')
+
+    def node(tree, path):
+        for part in path[:-1]:
+            tree = tree[part]
+        return tree, path[-1]
+
+    for name, m in unit.named_modules():
+        if isinstance(m, QM.QuantBnConv2d):
+            parent, leaf = node(v['params'], flax_path(name))
+            parent[leaf]['kernel'] = np.transpose(
+                m.conv.weight.detach().numpy(), (2, 3, 1, 0))
+            parent[leaf]['gamma'] = m.bn.weight.detach().numpy()
+            parent[leaf]['beta'] = m.bn.bias.detach().numpy()
+            bparent, bleaf = node(v['batch_stats'], flax_path(name))
+            bparent[bleaf]['mean'] = m.bn.running_mean.numpy()
+            bparent[bleaf]['var'] = m.bn.running_var.numpy()
+        elif isinstance(m, QM.QuantAct):
+            qparent, qleaf = node(v['quant_stats'], flax_path(name))
+            qparent[qleaf]['x_min'] = np.float32(m.x_min.item())
+            qparent[qleaf]['x_max'] = np.float32(m.x_max.item())
+
+    out, out_scale = layer.apply(v, xj, folded=True, update_stats=False)
+    _assert_unit_match(np.round(np.asarray(out) / float(out_scale)),
+                       t_int.astype(np.float64), out_scale, t_scale,
+                       'init_block', max_abs=4, max_rate=0.01)
