@@ -997,3 +997,128 @@ def test_genuine_incept_init_block_matches_repo():
     _assert_unit_match(np.round(np.asarray(out) / float(out_scale)),
                        t_int.astype(np.float64), out_scale, t_scale,
                        'init_block', max_abs=4, max_rate=0.01)
+
+
+def test_genuine_full_mobilenetv2_matches_repo_model():
+    """FULL-model anchor for family #2: the genuine Q_MobileNetV2
+    (q_mobilenetv2.py:93-211) at tiny channel lists vs the repo's
+    QMobileNetV2 with identical weights/BN/ranges — init block, three
+    inverted-residual units (incl. the residual and strided forms), final
+    block, integer global avg-pool, and the QuantConv2d 1×1 head."""
+    _import_reference()
+    QMn = importlib.import_module('refutils.models.q_mobilenetv2')
+    from hawq_tpu.configs.bit_config import BitConfig
+    from hawq_tpu.models.mobilenetv2 import QMobileNetV2
+
+    rng = np.random.RandomState(18)
+    stages, init_ch, final_ch, ncls = ([8], [12, 12]), 8, 32, 10
+
+    def cb(ci, co, k, s, p, groups=1):
+        conv = torch.nn.Conv2d(ci, co, k, s, p, groups=groups, bias=False)
+        bn = torch.nn.BatchNorm2d(co)
+        with torch.no_grad():
+            conv.weight.copy_(torch.from_numpy(
+                (rng.randn(*conv.weight.shape) * 0.3).astype(np.float32)))
+            bn.weight.copy_(torch.from_numpy(
+                (0.5 + rng.rand(co)).astype(np.float32)))
+            bn.bias.copy_(torch.from_numpy(
+                (rng.randn(co) * 0.1).astype(np.float32)))
+        return types.SimpleNamespace(conv=conv, bn=bn)
+
+    def funit(ci, co, stride, expansion):
+        mid = ci * 6 if expansion else ci
+        return types.SimpleNamespace(conv1=cb(ci, mid, 1, 1, 0),
+                                     conv2=cb(mid, mid, 3, stride, 1,
+                                              groups=mid),
+                                     conv3=cb(mid, co, 1, 1, 0))
+
+    out_head = torch.nn.Conv2d(final_ch, ncls, 1, bias=True)
+    with torch.no_grad():
+        out_head.weight.copy_(torch.from_numpy(
+            (rng.randn(ncls, final_ch, 1, 1) * 0.2).astype(np.float32)))
+        out_head.bias.copy_(torch.from_numpy(
+            (rng.randn(ncls) * 0.05).astype(np.float32)))
+    fmodel = types.SimpleNamespace(
+        features=types.SimpleNamespace(
+            init_block=cb(3, init_ch, 3, 2, 1),
+            stage1=types.SimpleNamespace(unit1=funit(init_ch, 8, 1, False)),
+            stage2=types.SimpleNamespace(unit1=funit(8, 12, 2, True),
+                                         unit2=funit(12, 12, 1, True)),
+            final_block=cb(12, final_ch, 1, 1, 0),
+            final_pool=torch.nn.AvgPool2d(kernel_size=8)),
+        output=out_head)
+    gm = QMn.Q_MobileNetV2(fmodel, channels=[[8], [12, 12]],
+                           init_block_channels=init_ch,
+                           final_block_channels=final_ch,
+                           remove_exp_conv=False, num_classes=ncls)
+    for name, m in gm.named_modules():
+        if isinstance(m, QM.QuantAct):
+            m.activation_bit = 8
+            m.quant_mode = 'symmetric'
+        elif isinstance(m, (QM.QuantBnConv2d, QM.QuantConv2d)):
+            m.weight_bit = 8
+            m.per_channel = True
+            m.bias_bit = 32
+            m.quantize_bias = True
+            m.quant_mode = 'symmetric'
+
+    x_np = (rng.rand(2, 3, 32, 32).astype(np.float32)) * 2.0 - 1.0
+    xt = torch.from_numpy(x_np)
+    with torch.no_grad():
+        for i in range(3):
+            gm(xt * (1.0 + 0.1 * i))
+    QM.freeze_model(gm)
+    with torch.no_grad():
+        t_logits = gm(xt).numpy()
+    out_scale_vec = (gm.output.conv_scaling_factor.numpy()
+                     * np.float32(gm.quant_act_output
+                                  .act_scaling_factor.item()))
+    t_int = np.round(t_logits / out_scale_vec.reshape(1, -1))
+
+    cfg = BitConfig(name='mnv2_full_anchor', table={})
+    rm = QMobileNetV2(cfg=cfg, num_classes=ncls, stages=stages,
+                      init_ch=init_ch, final_ch=final_ch)
+    xj = jnp.asarray(np.transpose(x_np, (0, 2, 3, 1)))
+    v = jax.tree.map(np.array, jax.device_get(rm.init(
+        jax.random.PRNGKey(0), xj, folded=True, update_stats=False)))
+
+    def flax_path(n):
+        parts = n.split('.')
+        if parts[0] == 'features':
+            if parts[1].startswith('stage'):
+                return [f'{parts[1]}_{parts[2]}'] + parts[3:]
+            return parts[1:]                       # features.final_block
+        return parts
+
+    def node(tree, path):
+        for part in path[:-1]:
+            tree = tree[part]
+        return tree, path[-1]
+
+    for name, m in gm.named_modules():
+        if not isinstance(m, (QM.QuantBnConv2d, QM.QuantConv2d, QM.QuantAct)):
+            continue
+        path = flax_path(name)
+        if isinstance(m, QM.QuantBnConv2d):
+            parent, leaf = node(v['params'], path)
+            parent[leaf]['kernel'] = np.transpose(
+                m.conv.weight.detach().numpy(), (2, 3, 1, 0))
+            parent[leaf]['gamma'] = m.bn.weight.detach().numpy()
+            parent[leaf]['beta'] = m.bn.bias.detach().numpy()
+            bparent, bleaf = node(v['batch_stats'], path)
+            bparent[bleaf]['mean'] = m.bn.running_mean.numpy()
+            bparent[bleaf]['var'] = m.bn.running_var.numpy()
+        elif isinstance(m, QM.QuantConv2d):
+            parent, leaf = node(v['params'], path)
+            parent[leaf]['kernel'] = np.transpose(
+                m.weight.detach().numpy(), (2, 3, 1, 0))
+            parent[leaf]['bias'] = m.bias.detach().numpy()
+        elif isinstance(m, QM.QuantAct):
+            qparent, qleaf = node(v['quant_stats'], path)
+            qparent[qleaf]['x_min'] = np.float32(m.x_min.item())
+            qparent[qleaf]['x_max'] = np.float32(m.x_max.item())
+
+    j_logits = np.asarray(rm.apply(v, xj, folded=True, update_stats=False))
+    j_int = np.round(j_logits / out_scale_vec.reshape(1, -1))
+    _assert_unit_match(j_int, t_int, 1.0, 1.0, 'mnv2_full',
+                       max_abs=4, max_rate=0.01)
