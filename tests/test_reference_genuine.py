@@ -789,6 +789,7 @@ def _anchor_inception_unit(unit, layer, cin, hw, seed):
                        max_abs=4, max_rate=0.01)
 
 
+@pytest.mark.slow
 def test_genuine_reduction_a_unit_matches_repo_unit():
     """Genuine Q_ReductionAUnit (strided branches + the max-pool branch
     through Q_Concurrent) vs the repo's _unit_reduction_a: bit-identical."""
@@ -813,6 +814,7 @@ def test_genuine_reduction_a_unit_matches_repo_unit():
     _anchor_inception_unit(unit, layer, cin, hw=9, seed=13)
 
 
+@pytest.mark.slow
 def test_genuine_inception_c_unit_matches_repo_unit():
     """Genuine Q_InceptionCUnit — the Q_ConvSeq3x3Branch split (parallel
     1×3 / 3×1 convs concatenated with per-branch scales and a nested
@@ -844,6 +846,7 @@ def test_genuine_inception_c_unit_matches_repo_unit():
     _anchor_inception_unit(unit, layer, cin, hw=8, seed=14)
 
 
+@pytest.mark.slow
 def test_genuine_inception_b_unit_matches_repo_unit():
     """Genuine Q_InceptionBUnit (1×7/7×1 factorized-conv branches) vs the
     repo's _unit_b: same scale, borderline-flip-bounded integers."""
@@ -875,6 +878,7 @@ def test_genuine_inception_b_unit_matches_repo_unit():
     _anchor_inception_unit(unit, layer, cin, hw=8, seed=15)
 
 
+@pytest.mark.slow
 def test_genuine_reduction_b_unit_matches_repo_unit():
     """Genuine Q_ReductionBUnit (factorized 7-convs then strided 3×3s + the
     max-pool branch) vs the repo's _unit_reduction_b."""
@@ -902,6 +906,7 @@ def test_genuine_reduction_b_unit_matches_repo_unit():
     _anchor_inception_unit(unit, layer, cin, hw=9, seed=16)
 
 
+@pytest.mark.slow
 def test_genuine_incept_init_block_matches_repo():
     """Genuine Q_InceptInitBlock (5-conv chain + 2 maxpools + the model's
     input quantizer, q_inceptionv3.py:575-650) vs the repo's init section
@@ -999,6 +1004,7 @@ def test_genuine_incept_init_block_matches_repo():
                        'init_block', max_abs=4, max_rate=0.01)
 
 
+@pytest.mark.slow
 def test_genuine_full_mobilenetv2_matches_repo_model():
     """FULL-model anchor for family #2: the genuine Q_MobileNetV2
     (q_mobilenetv2.py:93-211) at tiny channel lists vs the repo's
