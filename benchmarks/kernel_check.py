@@ -99,6 +99,20 @@ def main():
     print(f'int4w fused matmul: {t4*1e6:8.1f} us  {flops/t4/1e12:7.1f} TOP/s')
     print(f'f32 plain matmul  : {tf32*1e6:8.1f} us  {flops/tf32/1e12:7.1f} TFLOP/s')
 
+    # one-pass minmax reduction (kernels/reduce.py — kept as the measured
+    # alternative to the roofline-rate jnp two-pass; exactness must hold)
+    from hawq_tpu.kernels.reduce import minmax_1pass
+    # 205 MB — large enough that the loop cannot keep it on-chip (the
+    # 103 MB variant measured 3 TB/s apparent: cache-resident, meaningless)
+    xr = jnp.array(rng.randn(64, 56, 56, 256).astype(np.float32))
+    mn, mx = jax.jit(minmax_1pass)(xr)
+    check('minmax_1pass vs jnp.min/jnp.max',
+          jnp.stack([mn, mx]), jnp.stack([jnp.min(xr), jnp.max(xr)]))
+    t1 = time_per_iter(jax.jit(lambda x: sum(minmax_1pass(x))), xr)
+    t2 = time_per_iter(jax.jit(lambda x: jnp.min(x) + jnp.max(x)), xr)
+    print(f'minmax 1-pass     : {t1*1e6:8.1f} us  (two-pass jnp '
+          f'{t2*1e6:8.1f} us — jnp is production, docs/perf_tpu.md)')
+
     print('ALL OK' if failures == 0 else f'{failures} kernel checks FAILED')
     return 1 if failures else 0
 
