@@ -167,6 +167,10 @@ def main(argv=None) -> int:
                              "v1 engines only\n")
             return 2
         import jax as _jax
+        # the replay evaluates float64 (TPUs have no f64) — pin the CPU
+        # backend as well; the env-var spelling is overridden by
+        # sitecustomize on some hosts, the config API is not
+        _jax.config.update('jax_platforms', 'cpu')
         _jax.config.update('jax_enable_x64', True)
         kw['requant_mode'] = args.requant_mode
     if args.conv_mode != 'int8':

@@ -141,3 +141,29 @@ def test_deploy_cifar_arch(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert 'arch=resnet20_cifar' in out and 'image_size=32' in out
+
+
+def test_deploy_import_reference_replay_mode(tmp_path):
+    """--import-reference + --requant-mode reference end to end through the
+    CLI (subprocess: the flag enables jax x64 globally, which must not leak
+    into this test process)."""
+    import subprocess
+    import sys as _sys
+    torch = pytest.importorskip('torch')
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
+    from tests.test_reference_import import to_reference_state
+
+    fm = synthetic_frozen_resnet('tiny18', get_bit_config('tiny18',
+                                                          'uniform8'),
+                                 num_classes=8, seed=3)
+    path = str(tmp_path / 'quantized_checkpoint.pth.tar')
+    torch.save(to_reference_state(fm), path)
+    r = subprocess.run(
+        [_sys.executable, '-m', 'hawq_tpu.deploy', '--import-reference',
+         path, '--arch', 'tiny18', '--scheme', 'uniform8', '--image-size',
+         '32', '--batch', '2', '--requant-mode', 'reference'],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert 'arch=tiny18' in r.stdout
