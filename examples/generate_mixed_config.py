@@ -88,9 +88,15 @@ def main(argv=None):
         from hawq_tpu.sensitivity.ilp import published_ilp_inputs
         costs = published_ilp_inputs(args.arch)   # resnet18/50 only
         if lut is not None:
+            # A missing LUT key must not silently make a layer free in the
+            # latency constraint (it would skew the whole allocation).
+            missing = [c.key for c in costs if c.key not in lut]
+            if missing:
+                raise KeyError(
+                    f'latency LUT {lut_path} is missing layer(s) '
+                    f'{missing} — re-measure with benchmarks/latency_lut.py')
             costs = [dataclasses.replace(
-                c, latency4=lut.get(c.key, (0.0, 0.0))[0],
-                latency8=lut.get(c.key, (0.0, 0.0))[1])
+                c, latency4=lut[c.key][0], latency8=lut[c.key][1])
                 for c in costs]
     else:
         rng = np.random.RandomState(0)

@@ -49,28 +49,27 @@ from hawq_tpu.quant import ops as qops
 # value-exact residuals (the one non-integer case, the image-input x_int of
 # the init conv, is perturbed by ≤2⁻⁸ relative on that conv's dw only).
 # None keeps the reference-faithful f32 floats.  Trace-time setting — use
-# the context manager (make_train_step does).  NOT thread-safe: it is
-# process-global state read during tracing; build train steps sequentially
-# (the Trainer does) and never trace concurrently with the manager active.
-_RES_STORE_DTYPE = [None]
-
-
+# the context manager (make_train_step does).  Thread-local, so a
+# concurrent trace in another thread (two Trainers) sees its own value.
 import contextlib
+import threading
+
+_RES_STORE = threading.local()
 
 
 @contextlib.contextmanager
 def residual_store_dtype(dt):
     """Trace-time override of the backward-residual storage dtype."""
-    old = _RES_STORE_DTYPE[0]
-    _RES_STORE_DTYPE[0] = dt
+    old = getattr(_RES_STORE, 'dtype', None)
+    _RES_STORE.dtype = dt
     try:
         yield
     finally:
-        _RES_STORE_DTYPE[0] = old
+        _RES_STORE.dtype = old
 
 
 def _store(t):
-    dt = _RES_STORE_DTYPE[0]
+    dt = getattr(_RES_STORE, 'dtype', None)
     return t if dt is None else t.astype(dt)
 
 

@@ -161,13 +161,18 @@ class ServingEngine:
                              out_shardings=self._sharding)
 
     # -- multi-host data plane ------------------------------------------
-    def _to_device(self, arr: np.ndarray):
-        """Host-local batch → globally-'data'-sharded jax.Array."""
+    def to_device(self, arr: np.ndarray):
+        """Host-local batch → globally-'data'-sharded jax.Array.
+
+        Public entry point for callers that assemble their own batches
+        (the dryrun does); the batcher uses the same path internally."""
         if jax.process_count() == 1:
             return jnp.asarray(arr)
         global_shape = (arr.shape[0] * jax.process_count(), *arr.shape[1:])
         return jax.make_array_from_process_local_data(
             self._sharding, arr, global_shape)
+
+    _to_device = to_device
 
     def _fetch_local(self, out) -> np.ndarray:
         """This host's rows of the 'data'-sharded logits (they correspond

@@ -173,11 +173,22 @@ def percentile_bounds(x_flat: jnp.ndarray, lower_pct: float,
     n = int(x_flat.shape[0])
     s = jnp.sort(x_flat)
     upper_index = round(n * upper_pct * 0.01)
+    # torch.kthvalue(k=0) raises; a wrapped s[-1] would silently return the
+    # tensor max instead — fail loudly like the reference does.
+    if upper_index < 1:
+        raise ValueError(
+            f'percentile_bounds: upper index {upper_index} < 1 '
+            f'(n={n}, upper_pct={upper_pct}) — tensor too small for this '
+            f'percentile (reference torch.kthvalue would raise)')
     upper = s[upper_index - 1]
     if lower_pct == 0:
         lower = upper * 0
     else:
         lower_index = round(n * (1.0 - lower_pct * 0.01))
+        if lower_index < 1 or lower_index > n:
+            raise ValueError(
+                f'percentile_bounds: lower index {lower_index} out of '
+                f'[1, {n}] (lower_pct={lower_pct})')
         lower = s[n - lower_index]
     return lower, upper
 
@@ -198,6 +209,13 @@ def weight_percentile_bounds_per_channel(
     ln = int(w_flat.shape[0])
     lower_index = math.ceil(ln * (100.0 - pct) * 0.01)
     upper_index = math.ceil(ln * pct * 0.01)
+    # index 0 would wrap to ws[-1] (per-channel max as w_min, inverting the
+    # range); the reference's torch.kthvalue(k=0) raises instead.
+    if lower_index < 1 or upper_index < 1:
+        raise ValueError(
+            f'weight_percentile_bounds_per_channel: kth indices '
+            f'({lower_index}, {upper_index}) < 1 (L={ln}, pct={pct}) — '
+            f'channel too small for this percentile')
     ws = jnp.sort(w_flat, axis=0)
     return ws[lower_index - 1], ws[upper_index - 1]
 
