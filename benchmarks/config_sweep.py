@@ -28,13 +28,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SCHEMES = (['uniform8', 'uniform4'] +
            [f'{m}_{f}' for m in ('modelsize', 'bops', 'latency')
             for f in (0.25, 0.5, 0.75)])
+# the reference publishes 4 mobilenetv2_w1 configs (bit_config.py:3330-4053)
+MNV2_SCHEMES = ['uniform8', 'uniform4', 'bops_0.5', 'modelsize_0.5']
 
 
 def config_bops(arch: str, cfg, input_size: int = 224) -> float:
     """BOPS = Σ macs·w_bits·a_bits over the conv/fc layers (README.md:41-57
     accounting: activations follow the consuming conv's weight bits)."""
-    from benchmarks.latency_lut import conv_shapes
+    from benchmarks.latency_lut import conv_shapes, mobilenetv2_conv_shapes
     total = 0.0
+    if arch == 'mobilenetv2':
+        for (key, h, stride, kh, kw, cin_g, cout, groups) in \
+                mobilenetv2_conv_shapes(input_size):
+            out_sp = max(h // stride, 1)
+            macs = kh * kw * cin_g * cout * out_sp * out_sp
+            wb = cfg.weight_bits(key)
+            total += macs * wb * wb
+        return total
     for (key, h, stride, kh, kw, cin, cout) in conv_shapes(
             arch, input_size=input_size, batch=1):
         out_sp = h // stride
@@ -65,11 +75,13 @@ def main():
     from hawq_tpu.inference.freeze import model_size_bytes
     from hawq_tpu.inference.synthetic import synthetic_frozen_resnet
 
-    schemes = (args.schemes.split(',') if args.schemes else SCHEMES)
+    mnv2 = args.arch == 'mobilenetv2'
+    schemes = (args.schemes.split(',') if args.schemes
+               else MNV2_SCHEMES if mnv2 else SCHEMES)
     rng = np.random.RandomState(0)
     raw = rng.rand(args.batch, 224, 224, 3).astype(np.float32)
     x = jnp.asarray(raw)
-    folded = args.input_mode == 'folded_float32'
+    folded = args.input_mode == 'folded_float32' and not mnv2
     if folded:
         from hawq_tpu.inference.fold import fold4_images
         x_prod = jnp.asarray(fold4_images(raw))
@@ -89,15 +101,27 @@ def main():
             print(f'{scheme}: cached')
             continue
         cfg = get_bit_config(args.arch, scheme)
-        fm = synthetic_frozen_resnet(args.arch, cfg)
-
-        baseline = build_resnet_engine(fm)                      # plain XLA
-        # production config per benchmarks/engine_variants.py on v5e:
-        # int16 residual carry, XLA convs, host-folded input (the headline
-        # path — docs/perf_tpu.md), no s2d init (measured slower)
-        prod = build_resnet_engine(
-            fm, residual_dtype=jnp.int16,
-            input_mode='folded_float32' if folded else 'float32')
+        if mnv2:
+            from hawq_tpu.inference.synthetic import \
+                synthetic_frozen_mobilenet
+            from hawq_tpu.inference.engine_mobilenet import \
+                build_mobilenetv2_engine
+            from hawq_tpu.models.mobilenetv2 import MOBILENETV2_STAGES
+            fm = synthetic_frozen_mobilenet(cfg)
+            baseline = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES)
+            # production mnv2 build (raw NHWC input; the 3×3/s2 fold
+            # measured negative for this family)
+            prod = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES,
+                                            residual_dtype=jnp.int16)
+        else:
+            fm = synthetic_frozen_resnet(args.arch, cfg)
+            baseline = build_resnet_engine(fm)                  # plain XLA
+            # production config per benchmarks/engine_variants.py on v5e:
+            # int16 residual carry, XLA convs, host-folded input (the
+            # headline path — docs/perf_tpu.md), no s2d init (slower)
+            prod = build_resnet_engine(
+                fm, residual_dtype=jnp.int16,
+                input_mode='folded_float32' if folded else 'float32')
         a = np.asarray(baseline(x))
         b = np.asarray(prod(x_prod))
         match = bool(np.array_equal(a, b))

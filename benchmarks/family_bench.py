@@ -79,18 +79,37 @@ def main():
         print(f'{name}: {results[name]}', flush=True)
 
     # --- fp32 baselines (the speedup denominators; the reference's family
-    # tables quote speedups vs the float model, model_zoo.md:50-56)
+    # tables quote speedups vs the float model, model_zoo.md:50-56).
+    # Methodology matches bench.py's resnet baseline: BOTH denominators are
+    # recorded — bf16-default MXU passes (what a JAX user gets today) and
+    # forced-f32 precision (what a torch fp32 model computes) — and the
+    # fp32 rows get the same host-fold input option the integer rows get
+    # (inception folds; mobilenetv2 does not fold on either side — the
+    # 3×3/s2 C=32-out fold measured negative for its integer engine too).
     import jax
+    from hawq_tpu.inference import fold
     from hawq_tpu.models.mobilenetv2 import FloatMobileNetV2
     from hawq_tpu.models.inceptionv3 import FloatInceptionV3
-    for name, model, hw in (('mobilenetv2_fp32', FloatMobileNetV2(), 224),
-                            ('inceptionv3_fp32', FloatInceptionV3(), 299)):
-        if name in results:
-            print(f'{name}: cached', flush=True)
-            continue
-        xf = jnp.asarray(rng.rand(args.batch, hw, hw, 3).astype(np.float32))
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), xf)
-        record(name, lambda x, v=variables, m=model: m.apply(v, x), xf)
+
+    def record_float(name, model, x):
+        if name not in results or f'{name}_f32prec' not in results:
+            variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+            record(name, lambda xx, v=variables, m=model: m.apply(v, xx), x)
+
+            def f32prec(xx, v=variables, m=model):
+                with jax.default_matmul_precision('float32'):
+                    return m.apply(v, xx)
+            record(f'{name}_f32prec', f32prec, x)
+        else:
+            print(f'{name}(+_f32prec): cached', flush=True)
+
+    x224 = jnp.asarray(rng.rand(args.batch, 224, 224, 3).astype(np.float32))
+    x299 = jnp.asarray(rng.rand(args.batch, 299, 299, 3).astype(np.float32))
+    record_float('mobilenetv2_fp32', FloatMobileNetV2(), x224)
+    record_float('inceptionv3_fp32', FloatInceptionV3(), x299)
+    x299f = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x299), 0))
+    record_float('inceptionv3_fp32_folded',
+                 FloatInceptionV3(folded_input=True), x299f)
 
     for scheme in ('uniform8', 'uniform4'):
         # --- MobileNetV2, 224x224
@@ -145,13 +164,21 @@ def main():
                 eng_r = build_inceptionv3_engine(fm, routing=routing)
                 record(f'inceptionv3_{scheme}_routed', eng_r, xi, fm)
 
-    # annotate integer rows with speedup vs the family's fp32 baseline
+    # annotate integer rows with speedups vs every recorded denominator
+    # (bf16-default, forced-f32-precision, and — where it exists — the
+    # host-folded float baseline, the like-for-like comparison for the
+    # folded integer rows)
     for name, row in results.items():
+        if '_fp32' in name:
+            continue
         family = name.split('_')[0]
-        base = results.get(f'{family}_fp32')
-        if base and name != f'{family}_fp32':
-            row['speedup_vs_fp32'] = round(
-                base['ms_per_batch'] / row['ms_per_batch'], 2)
+        for suffix, col in (('_fp32', 'speedup_vs_fp32'),
+                            ('_fp32_f32prec', 'speedup_vs_fp32_f32prec'),
+                            ('_fp32_folded', 'speedup_vs_fp32_folded')):
+            base = results.get(f'{family}{suffix}')
+            if base:
+                row[col] = round(
+                    base['ms_per_batch'] / row['ms_per_batch'], 2)
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=1, sort_keys=True)
 

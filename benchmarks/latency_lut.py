@@ -27,6 +27,32 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def mobilenetv2_conv_shapes(input_size: int = 224):
+    """(key, H_in, stride, kh, kw, cin_per_group, cout, groups) for every
+    MobileNetV2 conv — the BOPS/size accounting walker for the family
+    sweep (q_mobilenetv2.py:225-263 topology)."""
+    from hawq_tpu.models.mobilenetv2 import (MOBILENETV2_STAGES,
+                                             MOBILENETV2_INIT_CH,
+                                             MOBILENETV2_FINAL_CH)
+    out = [('init_block', input_size, 2, 3, 3, 3, MOBILENETV2_INIT_CH, 1)]
+    spatial = input_size // 2
+    in_ch = MOBILENETV2_INIT_CH
+    for i, stage in enumerate(MOBILENETV2_STAGES, start=1):
+        for j, out_ch in enumerate(stage, start=1):
+            p = f'features.stage{i}.unit{j}'
+            stride = 2 if (j == 1 and i != 1) else 1
+            mid = in_ch * 6 if (i != 1 or j != 1) else in_ch
+            out.append((f'{p}.conv1', spatial, 1, 1, 1, in_ch, mid, 1))
+            out.append((f'{p}.conv2', spatial, stride, 3, 3, 1, mid, mid))
+            spatial //= stride
+            out.append((f'{p}.conv3', spatial, 1, 1, 1, mid, out_ch, 1))
+            in_ch = out_ch
+    out.append(('features.final_block', spatial, 1, 1, 1, in_ch,
+                MOBILENETV2_FINAL_CH, 1))
+    out.append(('output', 1, 1, 1, 1, MOBILENETV2_FINAL_CH, 1000, 1))
+    return out
+
+
 def conv_shapes(arch: str, input_size: int = 224, batch: int = 64):
     """(key, H_in, stride, kh, kw, cin, cout) for every stage conv."""
     from hawq_tpu.configs.bit_config import (RESNET_UNITS,

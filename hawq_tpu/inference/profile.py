@@ -116,6 +116,9 @@ def main():
     ap.add_argument('--points', default=None,
                     help='comma list of capture points (default per-stage)')
     ap.add_argument('--input-mode', default='float32')
+    ap.add_argument('--conv-mode', default=None,
+                    help="engine conv_mode override (e.g. 'f32' for the "
+                         'certified-exact float route, mnv2/inception)')
     ap.add_argument('--trace', default=None, metavar='DIR',
                     help='also capture a jax.profiler trace of the full '
                          'engine to DIR (the TVM debug_runtime dump analog; '
@@ -148,6 +151,8 @@ def main():
             x = fold4_images(x)
         kwargs = dict(residual_dtype=jnp.int16, input_mode=args.input_mode)
     x = jnp.asarray(x)
+    if args.conv_mode:
+        kwargs['conv_mode'] = args.conv_mode
     points = args.points.split(',') if args.points else None
     profile_engine(fm, x, points=points, **kwargs)
 

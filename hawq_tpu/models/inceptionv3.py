@@ -365,6 +365,14 @@ class FloatInceptionV3(nn.Module):
     MAC counts match exactly)."""
     num_classes: int = 1000
     width_div: int = 1
+    # folded_input: the float twin of the engines' 'folded_float32' input
+    # mode — the host pre-folds 4×4 pixel blocks (inference/fold.py
+    # fold4_images_3x3s2(x, 0)) and init_c1 runs as its 2×2/stride-1
+    # rewrite + depth-to-space.  Keeps the fp32 speedup denominator
+    # symmetric with the integer rows' input handling (same host fold,
+    # same on-device geometry).
+    folded_input: bool = False
+    input_hw: Tuple[int, int] = (299, 299)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -393,7 +401,17 @@ class FloatInceptionV3(nn.Module):
         for i, (c, k, s, p) in enumerate(
                 zip((32, 32, 64, 80, 192), (3, 3, 3, 1, 3),
                     (2, 1, 1, 1, 1), (0, 0, 1, 0, 0)), start=1):
-            x = convbn(x, d(c), k, s, p, f'init_c{i}')
+            if i == 1 and self.folded_input:
+                from hawq_tpu.inference.fold import (fold4_3x3s2_geometry,
+                                                     depth_to_space_2x2)
+                oh = fold4_3x3s2_geometry(self.input_hw[0], 0)[0]
+                ow = fold4_3x3s2_geometry(self.input_hw[1], 0)[0]
+                # 2×2/s1 conv over the folded (…, 48) grid, 4 stride-2
+                # origins in channels, then depth-to-space + tail slice
+                x = convbn(x, 4 * d(c), 2, 1, 0, f'init_c{i}')
+                x = depth_to_space_2x2(x)[:, :oh, :ow, :]
+            else:
+                x = convbn(x, d(c), k, s, p, f'init_c{i}')
             if i in (3, 5):
                 x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='VALID')
 
