@@ -161,10 +161,9 @@ def main(argv=None) -> int:
 
     kw = {}
     if args.requant_mode != 'native':
-        if fm.arch in ('mobilenetv2', 'inceptionv3') or \
-                fm.arch.endswith('v2'):
-            sys.stderr.write("--requant-mode reference supports the resnet "
-                             "v1 engines only\n")
+        if fm.arch != 'mobilenetv2' and fm.arch.endswith('v2'):
+            sys.stderr.write("--requant-mode reference is not supported for "
+                             "the pre-activation v2 engine\n")
             return 2
         import jax as _jax
         # the replay evaluates float64 (TPUs have no f64) — pin the CPU

@@ -159,7 +159,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                              routing: Optional[Dict[str, str]] = None,
                              input_mode: str = 'float32',
                              input_hw: Sequence = (299, 299),
-                             conv_mode: str = 'int8'):
+                             conv_mode: str = 'int8',
+                             requant_mode: str = 'native'):
     """``capture`` truncates at a named node and returns its integer tensor
     (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
     'fc_input'.
@@ -176,11 +177,22 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
 
     ``conv_mode='f32'``: the certified-exact f32 route (module docstring);
     activations/branch tensors thread integer-valued f32, convs failing
-    the 2²⁴ certificate cast to the integer path locally."""
+    the 2²⁴ certificate cast to the integer path locally.
+
+    ``requant_mode='reference'``: replay an imported reference checkpoint
+    with the reference's own 31-bit/f64 fixedpoint numerics — including the
+    multi-branch concat requant (QuantAct branch case,
+    quant_modules.py:275-286), whose per-branch (m, e) pairs come from the
+    same decompose_ref constants.  CPU + x64 only; plain int8 route."""
     from hawq_tpu.inference.routing import make_router
     assert conv_mode in ('int8', 'f32'), conv_mode
+    assert requant_mode in ('native', 'reference'), requant_mode
+    if requant_mode == 'reference':
+        assert (conv_mode == 'int8' and routing is None
+                and input_mode == 'float32'), \
+            "requant_mode='reference' supports only the plain int8 route"
     cfg = fm.cfg
-    plan = _Plan(fm)
+    plan = _Plan(fm, requant_mode)
     route = make_router(fm, routing)
     use_f32 = conv_mode == 'f32'
 

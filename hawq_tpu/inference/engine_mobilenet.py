@@ -34,9 +34,48 @@ import numpy as np
 
 from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
-                                       _np_dyadic_multiplier, act_amax,
-                                       f32_exact_ok)
+                                       _requant_add, _np_dyadic_multiplier,
+                                       act_amax, f32_exact_ok,
+                                       ACC_EXACT_F32_BOUND)
 from hawq_tpu.quant import ops as qops
+
+
+def _conv_bf16(x: jnp.ndarray, w8: np.ndarray, strides, padding,
+               groups: int = 1) -> jnp.ndarray:
+    """Certified-exact bf16-storage conv: integer-valued bf16 operands
+    (int8 weights and ≤8-bit activations are exact in bf16), f32
+    accumulation — bit-identical to the int32 conv under the same 2²⁴
+    certificate as the f32 route, at half the operand HBM traffic."""
+    wf = np.asarray(w8, np.float32).astype(jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), wf, strides, padding,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
+def _dw_shifted(x8: jnp.ndarray, w8: np.ndarray, stride: int) -> jnp.ndarray:
+    """Depthwise 3×3 (pad 1) as nine shifted elementwise int32 MACs.
+
+    XLA's grouped int8 convolution lowers poorly on TPU at depthwise
+    shapes (measured: the fused dw+requant is ~14× the bare conv,
+    benchmarks/mnv2_stage1_probe.json); the explicit formulation is one
+    VPU pass over nine shifted slices — identical int32 sums, same
+    zero padding."""
+    h, w = x8.shape[1], x8.shape[2]
+    oh = (h + 2 - 3) // stride + 1
+    ow = (w + 2 - 3) // stride + 1
+    xp = jnp.pad(x8.astype(jnp.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = np.asarray(w8, np.int32).reshape(3, 3, -1)   # (3, 3, C)
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            sl = xp[:, dy:dy + stride * (oh - 1) + 1:stride,
+                    dx:dx + stride * (ow - 1) + 1:stride, :]
+            term = sl * taps[dy, dx]
+            acc = term if acc is None else acc + term
+    return acc
 
 
 def _relu6_clip(acc: jnp.ndarray, acc_scale: np.ndarray) -> jnp.ndarray:
@@ -76,7 +115,9 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              routing: Optional[dict] = None,
                              input_mode: str = 'float32',
                              input_hw: Sequence = (224, 224),
-                             conv_mode: str = 'int8'):
+                             conv_mode: str = 'int8',
+                             dw_mode: Optional[str] = None,
+                             requant_mode: str = 'native'):
     """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
 
     ``capture`` truncates the graph at a named node and returns its raw
@@ -96,19 +137,41 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     the ~42× C-minor read penalty (docs/perf_tpu.md).  ``input_hw`` is the
     original image size (sets the post-fold slice).
 
-    ``conv_mode='f32'``: the certified-exact f32 route (module docstring;
-    bit-identical logits, measured ≥2× on v5e at batch 8)."""
+    ``conv_mode='f32'``: the certified-exact f32 route (module docstring).
+    ``conv_mode='bf16'``: same certificate, bf16 activation containers
+    (≤8-bit integers are bf16-exact) with f32 accumulation — half the
+    operand traffic of 'f32'; residual carriers stay ``residual_dtype``
+    (16-bit residual values are NOT bf16-exact).
+
+    ``dw_mode`` (int8 engine only): route the always-certifiable depthwise
+    convs off XLA's slow int8 grouped-conv lowering — 'bf16' runs them as
+    exact bf16 MXU convs, 'shifted' as nine shifted int32 VPU MACs
+    (_dw_shifted).  Bit-identical either way.
+
+    ``requant_mode='reference'``: replay an imported reference checkpoint
+    with the reference's own 31-bit/f64 fixedpoint numerics (engine.py
+    notes; CPU + x64 only — plain int8 route)."""
     from hawq_tpu.inference.routing import make_router
-    assert conv_mode in ('int8', 'f32'), conv_mode
+    assert conv_mode in ('int8', 'f32', 'bf16'), conv_mode
+    assert dw_mode in (None, 'bf16', 'shifted'), dw_mode
+    assert requant_mode in ('native', 'reference'), requant_mode
+    if requant_mode == 'reference':
+        assert (conv_mode == 'int8' and dw_mode is None and routing is None
+                and residual_dtype == jnp.int32
+                and input_mode == 'float32'), \
+            "requant_mode='reference' supports only the plain int8 route"
     cfg = fm.cfg
-    plan = _Plan(fm)
+    plan = _Plan(fm, requant_mode)
     route = make_router(fm, routing)
     use_f32 = conv_mode == 'f32'
+    use_cert = conv_mode in ('f32', 'bf16')
+    cert_conv = _conv_bf16 if conv_mode == 'bf16' else _conv_f32
     # activation containers / residual carriers in f32 mode stay f32 —
     # integer-valued, so every narrowing below is exact
-    act_dt = jnp.float32 if use_f32 else jnp.int8
+    act_dt = {'f32': jnp.float32, 'bf16': jnp.bfloat16,
+              'int8': jnp.int8}[conv_mode]
     res_dt = jnp.float32 if use_f32 else residual_dtype
-    fin_dt = jnp.float32 if use_f32 else jnp.int32
+    fin_dt = jnp.float32 if use_cert else jnp.int32
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -129,8 +192,17 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         ``amax`` is the largest input-integer magnitude (the producing
         requant's clip bound) — it certifies the f32 route per layer."""
         w8, b32 = plan.conv(key)
-        if use_f32 and f32_exact_ok(w8, b32, amax):
-            return _conv_f32(x, w8, strides, padding, groups) + b32
+        if use_cert and f32_exact_ok(w8, b32, amax):
+            return cert_conv(x, w8, strides, padding, groups) + b32
+        if dw_mode is not None and groups > 1 and f32_exact_ok(w8, b32,
+                                                              amax):
+            # depthwise certifies essentially always (K=9: bound
+            # 9·127·amax + |bias| ≪ 2²⁴) — route off the slow int8
+            # grouped-conv lowering, bit-identically
+            if dw_mode == 'bf16':
+                return _conv_bf16(x, w8, strides, padding, groups) + b32
+            x8 = x if x.dtype == jnp.int8 else x.astype(jnp.int8)
+            return _dw_shifted(x8, w8, strides[0]) + b32
         x8 = x if x.dtype == jnp.int8 else x.astype(jnp.int8)
         if strides == (1, 1) and groups == 1 and w8.shape[0] == 1:
             r = route(key)
@@ -146,13 +218,27 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     # 128 lanes at int8's (32, 128) tiling) that the f32 conv never needs.
     w8_init, b32_init = plan.conv('init_block')
     if folded:
-        init_f32 = use_f32 and f32_exact_ok(w_fold, _t4(b32_init), 128.0)
+        init_f32 = use_cert and f32_exact_ok(w_fold, _t4(b32_init), 128.0)
     else:
-        init_f32 = use_f32 and f32_exact_ok(w8_init, b32_init, 128.0)
+        init_f32 = use_cert and f32_exact_ok(w8_init, b32_init, 128.0)
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
                 cfg.act_mode(key) == 'symmetric')
+
+    def relu6(acc, acc_scale, w_scale, a_scale):
+        """Integer-domain ReLU6 clamp; in reference-replay mode the bound
+        reproduces the genuine graph exactly: the clamped float 6.0 maps to
+        z_int = torch.round(6.0 / s_act / s_w) — two sequential f32
+        divisions, round-half-even (fixedpoint_fn, quant_utils.py:392) —
+        instead of the native round-half-up over the fused product."""
+        if requant_mode == 'reference':
+            hi = np.rint(np.float32(6.0) / np.float32(a_scale)
+                         / np.asarray(w_scale, np.float32))
+            hi = np.minimum(hi, np.float32(2 ** 31 - 1)
+                            ).astype(np.int64).astype(np.int32)
+            return jnp.clip(acc, 0, hi)
+        return _relu6_clip(acc, acc_scale)
 
     captured = {}
 
@@ -182,21 +268,22 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 f'folded input {x8.shape[1:3]} does not match input_hw='
                 f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
             if init_f32:
-                acc = _conv_f32(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
+                acc = cert_conv(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
             else:
                 acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
-            acc = _relu6_clip(acc, _t4(acc_scale))
+            acc = relu6(acc, _t4(acc_scale),
+                        _t4(fm['init_block.weight_scale']), s_in)
             mult = plan.requant_mult('init_rq_f', _t4(acc_scale), s16)
             xq = _requant(acc, mult, b16, sg16, res_dt)
             x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
         else:
             if init_f32:
-                acc = _conv_f32(x8, w8_init, (2, 2), ((1, 1), (1, 1))
+                acc = cert_conv(x8, w8_init, (2, 2), ((1, 1), (1, 1))
                                 ) + b32_init
             else:
                 acc = _conv_i8(x8, w8_init, (2, 2), ((1, 1), (1, 1))
                                ) + b32_init
-            acc = _relu6_clip(acc, acc_scale)
+            acc = relu6(acc, acc_scale, fm['init_block.weight_scale'], s_in)
             mult = plan.requant_mult('init_rq', acc_scale, s16)
             x = _requant(acc, mult, b16, sg16, res_dt)
         prev_scale = np.float32(s16)
@@ -217,7 +304,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 acc = conv_acc(xa, f'{p}.conv1', act_amax(ba, sga))
                 acc_scale = (fm[f'{p}.conv1.weight_scale'].astype(np.float32)
                              * np.float32(sa))
-                acc = _relu6_clip(acc, acc_scale)
+                acc = relu6(acc, acc_scale, fm[f'{p}.conv1.weight_scale'], sa)
                 sa1, ba1, sg1 = act_info(f'{p}.quant_act1')
                 mult = plan.requant_mult(f'{p}.a1', acc_scale, sa1)
                 h = _requant(acc, mult, ba1, sg1, act_dt)
@@ -232,7 +319,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                                padding=((1, 1), (1, 1)), groups=mid)
                 acc_scale = (fm[f'{p}.conv2.weight_scale'].astype(np.float32)
                              * np.float32(sa1))
-                acc = _relu6_clip(acc, acc_scale)
+                acc = relu6(acc, acc_scale, fm[f'{p}.conv2.weight_scale'], sa1)
                 sa2, ba2, sg2 = act_info(f'{p}.quant_act2')
                 mult = plan.requant_mult(f'{p}.a2', acc_scale, sa2)
                 h = _requant(acc, mult, ba2, sg2, act_dt)
@@ -249,7 +336,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                     m_id = plan.requant_mult(f'{p}.res_id', prev_scale, s_out)
                     # wide container first: narrowing an out-of-range sum is
                     # implementation-defined, so clamp before the cast
-                    x = qops.requant_add_int32(
+                    x = _requant_add(
                         acc, m_main, x, m_id,
                         out_dtype=jnp.float32 if use_f32 else jnp.int32)
                     if residual_dtype != jnp.int32:
@@ -269,7 +356,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         acc = conv_acc(xa, 'features.final_block', act_amax(ba, sga))
         acc_scale = (fm['features.final_block.weight_scale']
                      .astype(np.float32) * np.float32(sa))
-        acc = _relu6_clip(acc, acc_scale)
+        acc = relu6(acc, acc_scale, fm['features.final_block.weight_scale'],
+                    sa)
         sf, bf, sgf = act_info('quant_act_int32_final')
         mult = plan.requant_mult('final_rq', acc_scale, sf)
         x = _requant(acc, mult, bf, sgf, fin_dt)

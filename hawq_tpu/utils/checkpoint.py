@@ -126,6 +126,15 @@ def load_frozen(path: str) -> FrozenModel:
 
 _REF_SLICES = ('convbn_scaling_factor', 'fc_scaling_factor',
                'weight_integer', 'bias_integer', 'act_scaling_factor')
+# Sixth, optional slice: the bare-QuantConv2d weight scale (the MobileNetV2
+# output head).  The reference's own dump recipe (quant_train.py:665-670)
+# collects only the five slices above, silently losing QuantConv2d's
+# 'conv_scaling_factor' buffer (quant_modules.py:661) and its bias (assigned
+# in forward but never registered, so absent from state_dict) — i.e. the
+# reference cannot round-trip its own quantized MobileNetV2.  Checkpoints
+# dumped with the extended filter (add 'conv_scaling_factor' to the slice
+# list and register the head bias) import completely here.
+_REF_CONV_SLICE = 'conv_scaling_factor'
 
 
 def _ref_key(key: str) -> str:
@@ -204,8 +213,15 @@ def import_reference_quantized(state: Mapping[str, Mapping[str, Any]],
         tensors[base + '.bias_int'] = _int_exact(
             _ref_np(v).reshape(-1), np.int32, key)
 
-    for slice_name in ('convbn_scaling_factor', 'fc_scaling_factor'):
+    scale_slices = ['convbn_scaling_factor', 'fc_scaling_factor']
+    if _REF_CONV_SLICE in state:        # extended dump (see _REF_CONV_SLICE)
+        scale_slices.append(_REF_CONV_SLICE)
+    for slice_name in scale_slices:
         for key, v in state[slice_name].items():
+            if not _ref_key(key).endswith('.' + slice_name):
+                # substring-filtered dumps put 'convbn_scaling_factor' keys
+                # into the 'conv_scaling_factor' slice too — skip them there
+                continue
             base = _ref_key(key)[:-len('.' + slice_name)]
             tensors[base + '.weight_scale'] = (
                 _ref_np(v).reshape(-1).astype(np.float32))
@@ -218,24 +234,104 @@ def import_reference_quantized(state: Mapping[str, Mapping[str, Any]],
     # completeness check against the arch's graph walk — a missing key here
     # fails now with a name instead of deep inside the engine build
     from hawq_tpu.configs.bit_config import resnet_layer_keys, RESNET_UNITS
+    need = []
+    head_key = 'quant_output'
     if arch in RESNET_UNITS:
-        need = []
         for lk in resnet_layer_keys(arch):
             if 'conv' in lk.rsplit('.', 1)[-1] or lk == 'quant_output':
                 need += [lk + '.weight_int', lk + '.bias_int',
                          lk + '.weight_scale']
             else:
                 need.append(lk + '.act_scale')
-        absent = [k for k in need if k not in tensors]
-        if absent:
-            raise ValueError(f'reference checkpoint incomplete for {arch}: '
-                             f'missing {absent[:8]}'
-                             + (' ...' if len(absent) > 8 else ''))
+    elif arch == 'mobilenetv2':
+        need, head_key = _mobilenetv2_required_tensors(tensors)
+    elif arch == 'inceptionv3':
+        need, head_key = _inceptionv3_required_tensors(cfg)
+    absent = [k for k in need if k not in tensors]
+    if absent:
+        hint = ''
+        if arch == 'mobilenetv2' and any(k.startswith('output.')
+                                         for k in absent):
+            hint = (" — note: the reference's own dump recipe "
+                    '(quant_train.py:665-670) omits the QuantConv2d head '
+                    "('conv_scaling_factor' buffer + unregistered bias); "
+                    'dump with the extended slice filter (see '
+                    'utils/checkpoint.py _REF_CONV_SLICE)')
+        raise ValueError(f'reference checkpoint incomplete for {arch}: '
+                         f'missing {absent[:8]}'
+                         + (' ...' if len(absent) > 8 else '') + hint)
 
     if num_classes is None:
-        num_classes = int(tensors['quant_output.weight_int'].shape[-1])
+        num_classes = int(tensors[head_key + '.weight_int'].shape[-1])
     return FrozenModel(arch=arch, cfg=cfg, tensors=tensors,
                        num_classes=num_classes)
+
+
+def _mobilenetv2_required_tensors(tensors: Mapping[str, np.ndarray]):
+    """Required tensor keys for a MobileNetV2 import.  The unit structure is
+    discovered from the checkpoint itself (conv3 occurrences), so tiny test
+    variants validate with the same walk as the full model."""
+    units = sorted({k.split('.weight_int')[0].rsplit('.conv3', 1)[0]
+                    for k in tensors
+                    if k.startswith('features.stage')
+                    and k.endswith('.conv3.weight_int')})
+    need = []
+    for ck in (['init_block', 'features.final_block', 'output']
+               + [f'{u}.conv{c}' for u in units for c in (1, 2, 3)]):
+        need += [ck + '.weight_int', ck + '.bias_int', ck + '.weight_scale']
+    for ak in (['quant_input', 'quant_act_int32',
+                'quant_act_before_final_block', 'quant_act_int32_final',
+                'quant_act_output']
+               + [f'{u}.quant_act{suf}' for u in units
+                  for suf in ('', '1', '2', '_int32')]):
+        need.append(ak + '.act_scale')
+    return need, 'output'
+
+
+def _inceptionv3_required_tensors(cfg: BitConfig):
+    """Required tensor keys for an InceptionV3 import — the same branch-spec
+    walk the model/freezer/engine share (models/inceptionv3.py build_unit),
+    so any width_div variant validates identically."""
+    from hawq_tpu.models.inceptionv3 import (
+        INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
+        _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch)
+    need = []
+
+    def conv(ck):
+        need.extend([f'{ck}.q_convbn.weight_int', f'{ck}.q_convbn.bias_int',
+                     f'{ck}.q_convbn.weight_scale', f'{ck}.q_activ.act_scale'])
+
+    ip = 'features.q_init_block'
+    need.append(f'{ip}.q_input_activ.act_scale')
+    for c in range(1, 6):
+        conv(f'{ip}.q_conv{c}')
+    b_idx = 0
+    for i, stage in enumerate(INCEPTION_CHANNELS, start=1):
+        for j, out_ch in enumerate(stage, start=1):
+            unit = build_unit(cfg, i, j, out_ch, b_idx)
+            if i == 2 and j != 1:
+                b_idx += 1
+            for name, ctor, kwargs in unit.branch_defs:
+                bp = f'{unit.prefix}.branches.{name}'
+                need.append(f'{bp}.q_input_act.act_scale')
+                if ctor in (_Conv1x1Branch, _AvgPoolBranch):
+                    conv(f'{bp}.q_conv')
+                    if ctor is _AvgPoolBranch:
+                        need.append(f'{bp}.q_pool_act.act_scale')
+                elif ctor is _MaxPoolBranch:
+                    pass
+                else:
+                    for c in range(1, len(kwargs['out_channels']) + 1):
+                        conv(f'{bp}.q_conv_list.q_conv{c}')
+                    if ctor is _ConvSeq3x3Branch:
+                        conv(f'{bp}.q_conv1x3')
+                        conv(f'{bp}.q_conv3x1')
+                        need.append(f'{bp}.q_rescaling_activ.act_scale')
+            need.append(f'{unit.prefix}.q_rescaling_activ.act_scale')
+    need.append('features.q_concat_activ.act_scale')
+    need += ['output.q_fc.weight_int', 'output.q_fc.bias_int',
+             'output.q_fc.weight_scale']
+    return need, 'output.q_fc'
 
 
 def load_reference_quantized(path: str, arch: str, cfg: BitConfig,
