@@ -144,4 +144,112 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--probe2' not in sys.argv:
+        main()
+
+
+def probe2():
+    """Round-5 follow-up: per-channel requant constants, carrier dtypes, and
+    the init block — the remaining deltas between the isolated chain
+    (0.12-0.20 ms) and the same unit in-engine (0.58-0.77 ms)."""
+    import jax
+    import jax.numpy as jnp
+    from bench import time_per_iter
+
+    B, H, C = 8, 112, 32
+    rng = np.random.RandomState(0)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'mnv2_stage1_probe.json')
+    results = {}
+    if os.path.exists(out_path):
+        results = json.load(open(out_path))
+
+    def record(name, fn, x):
+        if name in results:
+            print(f'{name}: cached', flush=True)
+            return
+        t = time_per_iter(fn, x)
+        results[name] = round(t * 1e3, 4)
+        with open(out_path, 'w') as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f'{name}: {t*1e3:.4f} ms', flush=True)
+
+    def conv(x, w, groups=1, strides=(1, 1), padding='VALID', pet=None):
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(
+            x, w, strides, padding, dimension_numbers=dn,
+            feature_group_count=groups,
+            preferred_element_type=pet or x.dtype if x.dtype != jnp.int8
+            else jnp.int32)
+
+    w1_i = rng.randint(-127, 128, (1, 1, C, C)).astype(np.int8)
+    wd_i = rng.randint(-127, 128, (3, 3, 1, C)).astype(np.int8)
+    w3_i = rng.randint(-127, 128, (1, 1, C, 16)).astype(np.int8)
+    x_f = jnp.asarray(rng.rand(B, H, H, C).astype(np.float32))
+    hi = rng.randint(1000, 20000, (C,)).astype(np.int32)
+    mult_s = np.float32(0.0003)
+    mult_c = (0.0003 * (0.5 + rng.rand(C))).astype(np.float32)
+    mult_16 = (0.0003 * (0.5 + rng.rand(16))).astype(np.float32)
+    pad = ((1, 1), (1, 1))
+
+    def rq(acc, mult, out_dtype):
+        out = jnp.floor(acc.astype(jnp.float32) * mult + 0.5)
+        return jnp.clip(out, -128, 127).astype(out_dtype)
+
+    # A) the same i8 chain as unit_i8_chain but with PER-CHANNEL requant
+    #    multipliers (the engine's actual constants)
+    def unit_i8_pc(x):
+        xa = rq(x, mult_c, jnp.int8)
+        h = rq(jnp.clip(conv(xa, w1_i, pet=jnp.int32), 0, hi), mult_c,
+               jnp.int8)
+        h = rq(jnp.clip(conv(h, wd_i, groups=C, padding=pad,
+                             pet=jnp.int32), 0, hi), mult_c, jnp.int8)
+        return rq(conv(h, w3_i, pet=jnp.int32), mult_16, jnp.float32)
+
+    record('unit_i8_chain_perchan', unit_i8_pc, x_f)
+
+    # B) int32 carriers in/out (the engine's residual container default)
+    x_i32 = jnp.asarray(rng.randint(-30000, 30000, (B, H, H, C))
+                        .astype(np.int32))
+
+    def unit_i8_c32(x):
+        xa = rq(x, mult_c, jnp.int8)
+        h = rq(jnp.clip(conv(xa, w1_i, pet=jnp.int32), 0, hi), mult_c,
+               jnp.int8)
+        h = rq(jnp.clip(conv(h, wd_i, groups=C, padding=pad,
+                             pet=jnp.int32), 0, hi), mult_c, jnp.int8)
+        acc = conv(h, w3_i, pet=jnp.int32)
+        out = jnp.floor(acc.astype(jnp.float32) * mult_16 + 0.5)
+        return jnp.clip(out, -2 ** 15, 2 ** 15 - 1).astype(jnp.int32)
+
+    record('unit_i8_chain_carrier32', unit_i8_c32, x_i32)
+
+    # C) init block, engine formulation: f32 image -> quantize -> int8
+    #    C=3 conv 3x3/s2 -> relu6 -> per-channel requant -> int8
+    w0_i = rng.randint(-127, 128, (3, 3, 3, C)).astype(np.int8)
+    img = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
+
+    def init_i8(im):
+        x8 = jnp.clip(jnp.floor(im / np.float32(0.01) + 0.5),
+                      -128, 127).astype(jnp.int8)
+        acc = conv(x8, w0_i, strides=(2, 2), padding=pad, pet=jnp.int32)
+        return rq(jnp.clip(acc, 0, hi), mult_c, jnp.int32)
+
+    record('init_i8_quantized_ondevice', init_i8, img)
+
+    def init_f32(im):
+        x8 = jnp.clip(jnp.floor(im / np.float32(0.01) + 0.5), -128, 127)
+        acc = conv(x8, np.asarray(w0_i, np.float32), strides=(2, 2),
+                   padding=pad, pet=jnp.float32)
+        return rq(jnp.clip(acc, 0, hi.astype(np.float32)), mult_c,
+                  jnp.int32)
+
+    record('init_f32cert', init_f32, img)
+
+    print(json.dumps({k: results[k] for k in sorted(results)}, indent=1))
+
+
+if __name__ == '__main__':
+    if '--probe2' in sys.argv:
+        probe2()

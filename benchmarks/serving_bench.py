@@ -1,15 +1,27 @@
-"""Serving throughput + scaling benchmark.
+"""Serving benchmark — component-separated and hardware-portable (round 5).
 
-Reports images/sec for the integer ResNet50 engine at:
-  * 1 device (direct jit)
-  * all visible devices (mesh-sharded batch via ServingEngine)
-  * the dynamic batcher path (request-level continuous batching)
+The round-4 artifact conflated host→device relay cost (an artifact of this
+box's remote-device tunnel) with batcher overhead; this version reports each
+component separately so the numbers stay interpretable on real hardware:
 
-On the single-chip build box the mesh rows exercise the virtual CPU mesh
-(functional check); on a real slice the same script reports the
-scaling curve (the ≥90% linear-scaling target of BASELINE.md).
+  * engine-side throughput (in-jit chained timing, device only) at the
+    peak-throughput batch (16, per the measured latency curve) and at the
+    serving batch (64)
+  * transfer cost: host→device put of one uint8 batch, measured alone
+    (tunnel-dominated here — labelled as such)
+  * batcher overhead: the DynamicBatcher machinery driven by a trivial
+    device fn — µs/request of pure host-side submit/collect/slot work
+  * end-to-end request path: throughput + p50/p99 request latency at
+    pipeline depths 1/2/4 (depth>1 beating depth=1 evidences
+    fetch/compute overlap)
+  * multi-device scaling rows when >1 device is visible
+
+Run (TPU, one process at a time):
+    timeout 590 python -u benchmarks/serving_bench.py --out \
+        benchmarks/serving_bench_b64.json
 """
 
+import argparse
 import json
 import os
 import sys
@@ -20,7 +32,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_requests: int = 256, out: str = None):
+def main():
     import jax
     import jax.numpy as jnp
     from bench import time_per_iter
@@ -29,68 +41,118 @@ def main(n_requests: int = 256, out: str = None):
     from hawq_tpu.inference.engine import build_resnet_engine
     from hawq_tpu.parallel.serving import ServingEngine
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n-requests', type=int, default=256)
+    ap.add_argument('--out', default=None)
+    args = ap.parse_args()
+
     cfg = get_bit_config('resnet50', 'uniform8')
     fm = synthetic_frozen_resnet('resnet50', cfg)
     # uint8 serving input: 4x less host->device traffic, normalization
     # folded into the on-device input quantization
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16,
                                  input_mode='uint8')
-    batch = 64
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randint(0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+    results = {'device': str(jax.devices()[0])}
 
-    results = {}
+    # --- engine-side throughput (device only, transfer cancelled) -------
+    for b in (16, 64):
+        xb = jnp.asarray(rng.randint(0, 256, (b, 224, 224, 3),
+                                     dtype=np.uint8))
+        t = time_per_iter(engine, xb)
+        results[f'engine_b{b}_ms'] = t * 1e3
+        results[f'engine_b{b}_img_per_sec'] = b / t
+        print(f'engine b{b}        : {b/t:10.0f} img/s ({t*1e3:.3f} ms)',
+              flush=True)
 
-    # 1 device, direct
-    t = time_per_iter(engine, x)
-    results['one_device_img_per_sec'] = batch / t
-    print(f'1-device direct     : {batch/t:10.0f} img/s', flush=True)
+    # --- transfer cost: host->device put of one uint8 batch -------------
+    # (On this box the device is behind a remote tunnel, so this number is
+    # relay latency, not PCIe/DMA — the split exists precisely so the
+    # end-to-end rows below can be read net of it.)
+    host64 = rng.randint(0, 256, (64, 224, 224, 3), dtype=np.uint8)
+    jax.block_until_ready(jax.device_put(host64))        # warm path
+    n_put = 8
+    t0 = time.perf_counter()
+    for _ in range(n_put):
+        jax.device_put(host64).block_until_ready()
+    results['transfer_b64_ms'] = (time.perf_counter() - t0) / n_put * 1e3
+    print(f"transfer b64      : {results['transfer_b64_ms']:.2f} ms "
+          '(tunnel-dominated on this box)', flush=True)
 
-    # all devices, sharded
+    # --- batcher overhead: host-side machinery against a trivial fn -----
+    def null_engine(x):
+        return jnp.zeros((x.shape[0], 1000), jnp.float32)
+
+    null_serving = ServingEngine(null_engine, n_devices=1, batch_size=64,
+                                 image_dtype=np.uint8)
+    nb = null_serving.batcher(max_delay_ms=2, depth=2)
+    try:
+        reqs = [host64[i % 64] for i in range(256)]
+        for s in [nb.submit(r) for r in reqs[:64]]:
+            s.get(timeout=300)
+        t0 = time.perf_counter()
+        slots = [nb.submit(r) for r in reqs]
+        for s in slots:
+            s.get(timeout=300)
+        dt = time.perf_counter() - t0
+    finally:
+        nb.close()
+    results['batcher_overhead_us_per_request'] = dt / len(reqs) * 1e6
+    print(f"batcher overhead  : "
+          f"{results['batcher_overhead_us_per_request']:.1f} µs/request "
+          '(null device fn)', flush=True)
+
+    # --- end-to-end request path: throughput + latency percentiles ------
+    serving1 = ServingEngine(engine, n_devices=1, batch_size=64,
+                             image_dtype=np.uint8)
+    n_req = args.n_requests
+    images = rng.randint(0, 256, (n_req, 224, 224, 3), dtype=np.uint8)
+    for depth in (1, 2, 4):
+        batcher = serving1.batcher(max_delay_ms=10, depth=depth)
+        try:
+            for s in [batcher.submit(images[i]) for i in range(64)]:
+                s.get(timeout=300)
+            lat = np.zeros(n_req)
+            t0 = time.perf_counter()
+            subs = [(i, time.perf_counter(), batcher.submit(images[i]))
+                    for i in range(n_req)]
+            for i, ts, s in subs:
+                s.get(timeout=300)
+                lat[i] = time.perf_counter() - ts
+            dt = time.perf_counter() - t0
+            results[f'request_depth{depth}_img_per_sec'] = n_req / dt
+            results[f'request_depth{depth}_p50_ms'] = (
+                float(np.percentile(lat, 50)) * 1e3)
+            results[f'request_depth{depth}_p99_ms'] = (
+                float(np.percentile(lat, 99)) * 1e3)
+            print(f'request path d={depth} : {n_req/dt:10.0f} img/s  '
+                  f'p50 {np.percentile(lat, 50)*1e3:.1f} ms  '
+                  f'p99 {np.percentile(lat, 99)*1e3:.1f} ms', flush=True)
+        finally:
+            batcher.close()
+    results['overlap_gain'] = (results['request_depth4_img_per_sec']
+                               / results['request_depth1_img_per_sec'])
+
+    # --- multi-device scaling (virtual mesh on the build box) -----------
     n_dev = len(jax.devices())
     if n_dev > 1:
-        serving = ServingEngine(engine, batch_size=batch * n_dev,
+        serving = ServingEngine(engine, batch_size=64 * n_dev,
                                 image_dtype=np.uint8)
         tput = serving.throughput()
         results['mesh_devices'] = n_dev
         results['mesh_img_per_sec'] = tput
         results['scaling_efficiency'] = tput / (
-            results['one_device_img_per_sec'] * n_dev)
-        print(f'{n_dev}-device sharded  : {tput:10.0f} img/s '
-              f'(efficiency {results["scaling_efficiency"]:.2f})', flush=True)
+            results['engine_b64_img_per_sec'] * n_dev)
+        print(f'{n_dev}-device sharded : {tput:10.0f} img/s', flush=True)
 
-    # dynamic batcher (request-level, includes host overhead), swept over
-    # pipeline depth — depth>1 throughput exceeding depth=1 is the direct
-    # evidence that logit fetch overlaps the next batch's compute
-    serving1 = ServingEngine(engine, n_devices=1, batch_size=batch,
-                             image_dtype=np.uint8)
-    images = rng.randint(0, 256, (n_requests, 224, 224, 3), dtype=np.uint8)
-    for depth in (1, 2, 4):
-        batcher = serving1.batcher(max_delay_ms=10, depth=depth)
-        try:
-            # warm up: compile the sharded engine + fill the pipeline once
-            for s in [batcher.submit(images[i]) for i in range(batch)]:
-                s.get(timeout=300)
-            t0 = time.perf_counter()
-            slots = [batcher.submit(images[i]) for i in range(n_requests)]
-            for s in slots:
-                s.get(timeout=300)
-            dt = time.perf_counter() - t0
-            results[f'batcher_depth{depth}_img_per_sec'] = n_requests / dt
-            print(f'dynamic batcher d={depth} : {n_requests/dt:10.0f} img/s '
-                  f'({n_requests} requests)', flush=True)
-        finally:
-            batcher.close()
-    results['overlap_gain'] = (results['batcher_depth4_img_per_sec']
-                               / results['batcher_depth1_img_per_sec'])
-
-    print(json.dumps({k: round(v, 2) for k, v in results.items()}))
-    if out:
-        with open(out, 'w') as f:
-            json.dump({k: round(v, 2) for k, v in results.items()}, f,
-                      indent=1)
+    out = {k: (round(v, 3) if isinstance(v, float) else v)
+           for k, v in results.items()}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, 'w') as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print('wrote', args.out)
 
 
 if __name__ == '__main__':
-    main(out=(sys.argv[sys.argv.index('--out') + 1]
-              if '--out' in sys.argv else None))
+    main()

@@ -143,10 +143,14 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     operand traffic of 'f32'; residual carriers stay ``residual_dtype``
     (16-bit residual values are NOT bf16-exact).
 
-    ``dw_mode`` (int8 engine only): route the always-certifiable depthwise
-    convs off XLA's slow int8 grouped-conv lowering — 'bf16' runs them as
-    exact bf16 MXU convs, 'shifted' as nine shifted int32 VPU MACs
-    (_dw_shifted).  Bit-identical either way.
+    ``dw_mode`` (int8 engine only): route the depthwise convs off XLA's
+    int8 grouped-conv lowering — 'shifted' runs them as nine shifted int32
+    VPU MACs (_dw_shifted; bit-identical, measured slower end-to-end on
+    v5e: benchmarks/mnv2_variants_b8.json).  'bf16' (explicit-bf16 grouped
+    conv) is NOT bit-exact on real TPUs — XLA lowers bf16 *grouped* convs
+    with bf16 accumulation, unlike the dense f32-certified route — it is
+    kept only for the CPU-backend measurement record; the engine rejects
+    it on TPU devices.
 
     ``requant_mode='reference'``: replay an imported reference checkpoint
     with the reference's own 31-bit/f64 fixedpoint numerics (engine.py
@@ -154,6 +158,12 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     from hawq_tpu.inference.routing import make_router
     assert conv_mode in ('int8', 'f32', 'bf16'), conv_mode
     assert dw_mode in (None, 'bf16', 'shifted'), dw_mode
+    if dw_mode == 'bf16':
+        # measured NOT bit-exact on v5e (bf16 grouped convs accumulate in
+        # bf16 there, unlike dense convs) — permit only off-TPU
+        assert jax.devices()[0].platform not in ('tpu', 'axon'), \
+            "dw_mode='bf16' is not exact on TPU (bf16 grouped-conv " \
+            'accumulation) — use dw_mode=None or conv_mode defaults'
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
         assert (conv_mode == 'int8' and dw_mode is None and routing is None
@@ -192,7 +202,13 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
         ``amax`` is the largest input-integer magnitude (the producing
         requant's clip bound) — it certifies the f32 route per layer."""
         w8, b32 = plan.conv(key)
-        if use_cert and f32_exact_ok(w8, b32, amax):
+        # Grouped (depthwise) convs are excluded from the bf16-container
+        # certificate: on v5e XLA accumulates bf16 *grouped* convs in bf16
+        # (measured inexact — mnv2_variants notes); the f32-dtype route
+        # stays certified (XLA's dense/grouped f32 convs accumulate f32).
+        cert_here = (use_cert and f32_exact_ok(w8, b32, amax)
+                     and (groups == 1 or conv_mode == 'f32'))
+        if cert_here:
             return cert_conv(x, w8, strides, padding, groups) + b32
         if dw_mode is not None and groups > 1 and f32_exact_ok(w8, b32,
                                                               amax):

@@ -183,6 +183,8 @@ def test_genuine_mnv2_chain_bit_identical(scheme, tmp_path):
              'features.stage2.unit2']
     handles = [gm.get_submodule(u).register_forward_hook(hook(u))
                for u in units]
+    handles.append(
+        gm.quant_act_output.register_forward_hook(hook('fc_input')))
     with torch.no_grad():
         t_logits = gm(test_nchw).numpy()
     for h in handles:
@@ -190,19 +192,33 @@ def test_genuine_mnv2_chain_bit_identical(scheme, tmp_path):
 
     images = jnp.asarray(np.transpose(test_nchw.numpy(), (0, 2, 3, 1)))
     with jax.enable_x64():
-        for u in units:
-            eng = build_mobilenetv2_engine(fm, stages_rt,
-                                           capture=f'{u}.quant_act_int32',
+        for u in units + ['fc_input']:
+            node = u if u == 'fc_input' else f'{u}.quant_act_int32'
+            eng = build_mobilenetv2_engine(fm, stages_rt, capture=node,
                                            requant_mode='reference')
             got = np.asarray(eng(images)).astype(np.int64)
-            want = np.transpose(grabbed[u], (0, 2, 3, 1)).astype(np.int64)
+            want = grabbed[u].astype(np.int64)
+            if want.ndim == 4:
+                want = np.transpose(want, (0, 2, 3, 1))
+            got = got.reshape(want.shape)
             np.testing.assert_array_equal(got, want,
                                           err_msg=f'{scheme}:{u}')
         eng = build_mobilenetv2_engine(fm, stages_rt,
                                        requant_mode='reference')
         j_logits = np.asarray(eng(images))
-    np.testing.assert_array_equal(j_logits, t_logits,
-                                  err_msg=f'{scheme}:logits')
+    # The head itself is compared in the integer domain: the genuine
+    # QuantConv2d recovers x_int by an UNROUNDED float division
+    # (quant_modules.py:727 ``x_int = x / pre_act_scaling_factor``), so its
+    # float conv accumulates ~1-ulp recovery noise the pure-integer head
+    # doesn't have — not integer-observable (< 3e-7 relative on logits).
+    out_scale_vec = (fm['output.weight_scale']
+                     * np.float32(fm.act_scale('quant_act_output')))
+    np.testing.assert_array_equal(
+        np.round(j_logits / out_scale_vec.reshape(1, -1)),
+        np.round(t_logits / out_scale_vec.reshape(1, -1)),
+        err_msg=f'{scheme}:integer logits')
+    np.testing.assert_allclose(j_logits, t_logits, rtol=1e-6,
+                               err_msg=f'{scheme}:float logits')
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +342,8 @@ def test_genuine_inception_chain_bit_identical(tmp_path):
                 (rng.rand(1, 3, 203, 203).astype(np.float32)) * 2.0 - 1.0)
             gm(cal * (1.0 + 0.1 * i))
     QM.freeze_model(gm)
-    with torch.no_grad():
+    gm.eval()          # validate() runs eval'd — the head QuantDropout
+    with torch.no_grad():  # must be inert (quant_train.py:630)
         cal1 = torch.from_numpy(
             (rng.rand(1, 3, 203, 203).astype(np.float32)) * 2.0 - 1.0)
         gm(cal1)
