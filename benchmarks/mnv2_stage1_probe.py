@@ -144,7 +144,7 @@ def main():
 
 
 if __name__ == '__main__':
-    if '--probe2' not in sys.argv:
+    if '--probe2' not in sys.argv and '--probe3' not in sys.argv:
         main()
 
 
@@ -250,6 +250,77 @@ def probe2():
     print(json.dumps({k: results[k] for k in sorted(results)}, indent=1))
 
 
+def probe3():
+    """The isolated-vs-in-engine 3x inflation: a minimal two-block program
+    (engine-exact init + stage1.unit1 ops) with and without the input
+    exact_div optimization_barrier, against the engine's measured 0.905 ms
+    cumulative at the same point."""
+    import jax
+    import jax.numpy as jnp
+    from bench import time_per_iter
+    from hawq_tpu.quant import ops as qops
+
+    B, C = 8, 32
+    rng = np.random.RandomState(0)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            'mnv2_stage1_probe.json')
+    results = json.load(open(out_path)) if os.path.exists(out_path) else {}
+
+    def record(name, fn, x):
+        if name in results:
+            print(f'{name}: cached', flush=True)
+            return
+        t = time_per_iter(fn, x)
+        results[name] = round(t * 1e3, 4)
+        with open(out_path, 'w') as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f'{name}: {t*1e3:.4f} ms', flush=True)
+
+    def conv(x, w, groups=1, strides=(1, 1), padding='VALID', pet=None):
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ('NHWC', 'HWIO', 'NHWC'))
+        return jax.lax.conv_general_dilated(
+            x, w, strides, padding, dimension_numbers=dn,
+            feature_group_count=groups, preferred_element_type=pet)
+
+    w0 = rng.randint(-127, 128, (3, 3, 3, C)).astype(np.int8)
+    w1 = rng.randint(-127, 128, (1, 1, C, C)).astype(np.int8)
+    wd = rng.randint(-127, 128, (3, 3, 1, C)).astype(np.int8)
+    w3 = rng.randint(-127, 128, (1, 1, C, 16)).astype(np.int8)
+    hi = rng.randint(1000, 20000, (C,)).astype(np.int32)
+    mult_c = (0.0003 * (0.5 + rng.rand(C))).astype(np.float32)
+    m16 = (0.0003 * (0.5 + rng.rand(16))).astype(np.float32)
+    img = jnp.asarray(rng.rand(B, 224, 224, 3).astype(np.float32))
+    pad = ((1, 1), (1, 1))
+
+    def rq(acc, mult, out_dtype):
+        out = jnp.floor(acc.astype(jnp.float32) * mult + 0.5)
+        return jnp.clip(out, -128, 127).astype(out_dtype)
+
+    def two_block(im, quantize):
+        x8 = jnp.clip(quantize(im), -128, 127).astype(jnp.int8)
+        acc = conv(x8, w0, strides=(2, 2), padding=pad, pet=jnp.int32)
+        x = rq(jnp.clip(acc, 0, hi), mult_c, jnp.int32)     # init, carrier32
+        xa = rq(x, mult_c, jnp.int8)
+        h = rq(jnp.clip(conv(xa, w1, pet=jnp.int32), 0, hi), mult_c,
+               jnp.int8)
+        h = rq(jnp.clip(conv(h, wd, groups=C, padding=pad,
+                             pet=jnp.int32), 0, hi), mult_c, jnp.int8)
+        return rq(conv(h, w3, pet=jnp.int32), m16, jnp.int32)
+
+    record('two_block_barrier',
+           lambda im: two_block(im, lambda v: qops.round_half_up(
+               qops.exact_div(v, np.float32(0.01)))), img)
+    record('two_block_plain',
+           lambda im: two_block(im, lambda v: jnp.floor(
+               v / np.float32(0.01) + 0.5)), img)
+
+    print(json.dumps({k: results[k] for k in sorted(results)
+                      if k.startswith('two_block')}, indent=1))
+
+
 if __name__ == '__main__':
     if '--probe2' in sys.argv:
         probe2()
+    elif '--probe3' in sys.argv:
+        probe3()

@@ -52,17 +52,14 @@ def main():
     VARIANTS = {
         'int8': {},
         'int8_res16': dict(residual_dtype=jnp.int16),
-        'int8_dw_bf16': dict(dw_mode='bf16'),
+        # dw_mode='bf16' is TPU-blocked since the b8 run found bf16
+        # grouped convs accumulate in bf16 there (engine guard); its b8
+        # rows remain in the artifact as the measurement record.
         'int8_dw_shifted': dict(dw_mode='shifted'),
-        'int8_res16_dw_bf16': dict(residual_dtype=jnp.int16,
-                                   dw_mode='bf16'),
         'int8_res16_dw_shifted': dict(residual_dtype=jnp.int16,
                                       dw_mode='shifted'),
         'f32': dict(conv_mode='f32'),
         'bf16_res16': dict(conv_mode='bf16', residual_dtype=jnp.int16),
-        'bf16_res16_dw_bf16': dict(conv_mode='bf16',
-                                   residual_dtype=jnp.int16,
-                                   dw_mode='bf16'),
         'bf16_res32': dict(conv_mode='bf16'),
     }
     for name, kw in VARIANTS.items():

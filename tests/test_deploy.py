@@ -167,3 +167,55 @@ def test_deploy_import_reference_replay_mode(tmp_path):
         env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
     assert r.returncode == 0, r.stderr[-800:]
     assert 'arch=tiny18' in r.stdout
+
+
+def test_deploy_import_reference_mobilenetv2_replay(tmp_path):
+    """--import-reference for the MobileNetV2 family (extended six-slice
+    checkpoint, utils/checkpoint.py _REF_CONV_SLICE) + reference-replay
+    numerics through the CLI."""
+    import subprocess
+    import sys as _sys
+    torch = pytest.importorskip('torch')
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_mobilenet
+    from tests.test_reference_import import to_reference_state
+
+    fm = synthetic_frozen_mobilenet(get_bit_config('mobilenetv2',
+                                                   'uniform8'), seed=5)
+    path = str(tmp_path / 'quantized_checkpoint.pth.tar')
+    torch.save(to_reference_state(fm), path)
+    r = subprocess.run(
+        [_sys.executable, '-m', 'hawq_tpu.deploy', '--import-reference',
+         path, '--arch', 'mobilenetv2', '--scheme', 'uniform8',
+         '--image-size', '96', '--batch', '1',
+         '--requant-mode', 'reference'],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert 'arch=mobilenetv2' in r.stdout
+
+
+def test_deploy_import_reference_inceptionv3(tmp_path):
+    """--import-reference accepts the InceptionV3 family (the reference's
+    five-slice dump is complete for it) and classifies through the CLI."""
+    import subprocess
+    import sys as _sys
+    torch = pytest.importorskip('torch')
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_inception
+    from tests.test_reference_import import to_reference_state
+
+    fm = synthetic_frozen_inception(get_bit_config('inceptionv3',
+                                                   'uniform8'), seed=5)
+    path = str(tmp_path / 'quantized_checkpoint.pth.tar')
+    state = to_reference_state(fm)
+    del state['conv_scaling_factor']      # the literal five-slice recipe
+    torch.save(state, path)
+    r = subprocess.run(
+        [_sys.executable, '-m', 'hawq_tpu.deploy', '--import-reference',
+         path, '--arch', 'inceptionv3', '--scheme', 'uniform8',
+         '--image-size', '107', '--batch', '1'],
+        capture_output=True, text=True, timeout=480,
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert 'arch=inceptionv3' in r.stdout

@@ -44,9 +44,17 @@ NCLS = 16
 # ---------------------------------------------------------------------------
 
 def to_reference_state(fm):
+    """FrozenModel → the reference's quantized_checkpoint dict.
+
+    Slice assignment follows the genuine module classes: QuantLinear heads
+    (resnet quant_output, inception output.q_fc) → fc_scaling_factor; the
+    MobileNetV2 QuantConv2d head ('output') → the conv_scaling_factor
+    slice of the *extended* dump (the reference's own recipe omits it,
+    utils/checkpoint.py _REF_CONV_SLICE); everything else →
+    convbn_scaling_factor."""
     state = {s: {} for s in ('convbn_scaling_factor', 'fc_scaling_factor',
-                             'weight_integer', 'bias_integer',
-                             'act_scaling_factor')}
+                             'conv_scaling_factor', 'weight_integer',
+                             'bias_integer', 'act_scaling_factor')}
     for key, t in fm.tensors.items():
         base, kind = key.rsplit('.', 1)
         mkey = 'module.' + base
@@ -62,11 +70,11 @@ def to_reference_state(fm):
             state['bias_integer'][mkey + '.bias_integer'] = \
                 torch.from_numpy(np.asarray(t, np.float32).copy())
         elif kind == 'weight_scale':
-            slc = ('fc_scaling_factor' if base == 'quant_output'
+            slc = ('fc_scaling_factor'
+                   if base in ('quant_output', 'output.q_fc')
+                   else 'conv_scaling_factor' if base == 'output'
                    else 'convbn_scaling_factor')
-            sfx = ('.fc_scaling_factor' if base == 'quant_output'
-                   else '.convbn_scaling_factor')
-            state[slc][mkey + sfx] = torch.from_numpy(
+            state[slc][mkey + '.' + slc] = torch.from_numpy(
                 np.asarray(t, np.float32).reshape(-1).copy())
         elif kind == 'act_scale':
             state['act_scaling_factor'][mkey + '.act_scaling_factor'] = \
