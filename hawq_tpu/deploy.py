@@ -49,6 +49,32 @@ def build_engine_for(fm: FrozenModel, **kw):
     return build_resnet_engine(fm, **kw)
 
 
+def production_route(fm: FrozenModel, batch: int):
+    """(input_mode, conv_mode): the measured-best bit-exact route per
+    family and batch (docs/perf_tpu.md round-5 family table +
+    input_mode_b64.json / residual_fusion_b8_b64.json):
+
+      * resnet v1 with a 7×7 init: host fold4 wins at b≤16, raw float32 at
+        b≥32 (uint8 is fastest at b64 but changes the input contract, so
+        'auto' never selects it);
+      * inceptionv3: host fold4_3x3s2 + certified-f32 convs at b≤16,
+        raw float32 + int8 at b≥32 (the fold loses at b64);
+      * mobilenetv2 / pre-activation v2: plain int8 over raw float32
+        (every alternative measured slower, mnv2_variants_b{8,64}.json).
+    """
+    if fm.arch == 'inceptionv3':
+        return (('folded_float32', 'f32') if batch <= 16
+                else ('float32', 'int8'))
+    if fm.arch == 'mobilenetv2' or fm.arch.endswith('v2'):
+        return ('float32', 'int8')
+    init_key = ('quant_init_convbn' if 'quant_init_convbn.weight_int'
+                in fm.tensors else 'quant_init_block_convbn')
+    w = fm.tensors.get(init_key + '.weight_int')
+    foldable = w is not None and w.shape[:2] == (7, 7)
+    return ('folded_float32' if (batch <= 16 and foldable) else 'float32',
+            'int8')
+
+
 def default_image_size(fm: FrozenModel) -> int:
     from hawq_tpu.configs.bit_config import RESNET_CIFAR_ARCHS
     if fm.arch == 'inceptionv3':
@@ -126,18 +152,19 @@ def main(argv=None) -> int:
                    help='write the compiled engine program text here (the '
                         'generated-kernel dump of the reference, '
                         'test_resnet_inference_time.py:82-89, 240-242)')
-    p.add_argument('--input-mode', default='float32',
-                   choices=['float32', 'folded_float32', 'uint8'],
+    p.add_argument('--input-mode', default='auto',
+                   choices=['auto', 'float32', 'folded_float32', 'uint8'],
                    help='engine input path; folded_* folds on host '
                         'automatically (resnet: fold4, inception: '
-                        'fold4_3x3s2 — the measured-fastest production '
-                        'paths, docs/perf_tpu.md)')
-    p.add_argument('--conv-mode', default='int8',
-                   choices=['int8', 'f32'],
+                        'fold4_3x3s2).  auto (default) picks the measured '
+                        'per-family per-batch production route '
+                        '(docs/perf_tpu.md round-5 table)')
+    p.add_argument('--conv-mode', default='auto',
+                   choices=['auto', 'int8', 'f32'],
                    help="f32: certified-exact f32 conv route — convs whose "
                         "accumulator is provably < 2^24 thread integer-valued "
-                        "f32 (bit-identical, faster at small channel counts; "
-                        "mobilenetv2/inceptionv3 engines)")
+                        "f32 (bit-identical; the measured b<=16 winner for "
+                        "inceptionv3).  auto picks per family/batch")
     args = p.parse_args(argv)
 
     import os
@@ -149,6 +176,14 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     fm = _load_frozen_or_synthetic(args)
     size = args.image_size or default_image_size(fm)
+    if args.input_mode == 'auto' or args.conv_mode == 'auto':
+        auto_im, auto_cm = production_route(fm, args.batch)
+        if args.requant_mode != 'native':   # replay mode: plain int8 route
+            auto_im, auto_cm = 'float32', 'int8'
+        if args.input_mode == 'auto':
+            args.input_mode = auto_im
+        if args.conv_mode == 'auto':
+            args.conv_mode = auto_cm
     from hawq_tpu.inference.freeze import model_size_bytes
     print(f'arch={fm.arch} scheme={fm.cfg.name} classes={fm.num_classes} '
           f'tensors={len(fm.tensors)} image_size={size} '
