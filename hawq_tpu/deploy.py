@@ -141,6 +141,10 @@ def main(argv=None) -> int:
                    help='golden npy; exact integer comparison against the '
                         'capture (the reference --debug-unit flow)')
     p.add_argument('--export-onnx', help='write the QONNX ONNX file here')
+    p.add_argument('--export-reference',
+                   help='write the model as a reference-format '
+                        'quantized_checkpoint.pth.tar (the inverse of '
+                        '--import-reference; lossless round-trip)')
     p.add_argument('--routing', help='autotune routing table JSON')
     p.add_argument('--accuracy',
                    help='val ImageFolder dir: run the integer engine over '
@@ -193,6 +197,12 @@ def main(argv=None) -> int:
         from hawq_tpu.export.qonnx import export_qonnx
         export_qonnx(fm, args.export_onnx, image_size=size)
         print(f'exported ONNX → {args.export_onnx}')
+
+    if args.export_reference:
+        from hawq_tpu.utils.checkpoint import save_reference_quantized
+        save_reference_quantized(args.export_reference, fm)
+        print(f'exported reference-format checkpoint → '
+              f'{args.export_reference}')
 
     kw = {}
     if args.requant_mode != 'native':

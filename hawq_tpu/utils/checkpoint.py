@@ -334,6 +334,59 @@ def _inceptionv3_required_tensors(cfg: BitConfig):
     return need, 'output.q_fc'
 
 
+def export_reference_quantized(fm: FrozenModel) -> Dict[str, Dict]:
+    """FrozenModel → the reference's quantized-checkpoint dict (the inverse
+    of :func:`import_reference_quantized`).
+
+    Produces the slice layout the reference's validate() dumps
+    (quant_train.py:665-670, 'module.'-prefixed keys), so a model trained
+    in this framework can be handed to reference-format tooling.  Weights
+    transpose back HWIO→OIHW / (F,O)→(O,F); integer tensors are stored as
+    float buffers holding exact integers, as the reference does.  Slice
+    assignment follows the genuine module classes: QuantLinear heads
+    (resnet 'quant_output', inception 'output.q_fc') → fc_scaling_factor;
+    the MobileNetV2 QuantConv2d head ('output') → the sixth
+    'conv_scaling_factor' slice the reference's own recipe omits
+    (see _REF_CONV_SLICE — without it the mnv2 head cannot round-trip).
+    Round-trip test: tests/test_reference_import.py.
+    """
+    state: Dict[str, Dict] = {s: {} for s in _REF_SLICES + (_REF_CONV_SLICE,)}
+    for key, t in fm.tensors.items():
+        base, kind = key.rsplit('.', 1)
+        mkey = 'module.' + base
+        if kind == 'weight_int':
+            w = np.asarray(t, np.float32)
+            w = (np.transpose(w, (3, 2, 0, 1)) if w.ndim == 4
+                 else np.transpose(w, (1, 0)))
+            state['weight_integer'][mkey + '.weight_integer'] = w
+        elif kind == 'bias_int':
+            state['bias_integer'][mkey + '.bias_integer'] = \
+                np.asarray(t, np.float32)
+        elif kind == 'weight_scale':
+            slc = ('fc_scaling_factor'
+                   if base in ('quant_output', 'output.q_fc')
+                   else _REF_CONV_SLICE if base == 'output'
+                   else 'convbn_scaling_factor')
+            state[slc][mkey + '.' + slc] = \
+                np.asarray(t, np.float32).reshape(-1)
+        elif kind == 'act_scale':
+            state['act_scaling_factor'][mkey + '.act_scaling_factor'] = \
+                np.full((1,), np.float32(t), np.float32)
+    if not state[_REF_CONV_SLICE]:        # non-mnv2: the literal five slices
+        del state[_REF_CONV_SLICE]
+    return state
+
+
+def save_reference_quantized(path: str, fm: FrozenModel) -> None:
+    """Write ``quantized_checkpoint.pth.tar`` (torch-pickled, the
+    reference's on-disk format) from a FrozenModel."""
+    import torch
+    state = {s: {k: torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in d.items()}
+             for s, d in export_reference_quantized(fm).items()}
+    torch.save(state, path)
+
+
 def load_reference_quantized(path: str, arch: str, cfg: BitConfig,
                              num_classes: Optional[int] = None
                              ) -> FrozenModel:

@@ -435,3 +435,34 @@ def test_reference_mode_matches_oracle_at_canary_scale():
         logits = np.asarray(build_resnet_engine(
             fm, requant_mode='reference')(jnp.asarray(images)))
     np.testing.assert_array_equal(logits, want['fc_output'])
+
+
+@pytest.mark.parametrize('family', ['resnet', 'mobilenetv2', 'inceptionv3'])
+def test_library_exporter_roundtrip_all_families(family, tmp_path):
+    """utils.checkpoint.save_reference_quantized → load_reference_quantized
+    == identity for every deployment family (the bidirectional bridge: a
+    model trained here can be handed to reference-format tooling and read
+    back losslessly)."""
+    from hawq_tpu.utils.checkpoint import (save_reference_quantized,
+                                           load_reference_quantized)
+    if family == 'resnet':
+        fm = synthetic_frozen_resnet('tiny50',
+                                     get_bit_config('tiny50', 'uniform8'),
+                                     num_classes=8, seed=11)
+    elif family == 'mobilenetv2':
+        from hawq_tpu.inference.synthetic import synthetic_frozen_mobilenet
+        fm = synthetic_frozen_mobilenet(
+            get_bit_config('mobilenetv2', 'uniform8'), seed=11)
+    else:
+        from hawq_tpu.inference.synthetic import synthetic_frozen_inception
+        fm = synthetic_frozen_inception(
+            get_bit_config('inceptionv3', 'uniform8'), seed=11)
+    arch = fm.arch
+    path = str(tmp_path / 'quantized_checkpoint.pth.tar')
+    save_reference_quantized(path, fm)
+    fm2 = load_reference_quantized(path, arch, fm.cfg)
+    assert fm2.num_classes == fm.num_classes
+    assert set(fm2.tensors) == set(fm.tensors)
+    for k, v in fm.tensors.items():
+        np.testing.assert_array_equal(np.asarray(v), fm2.tensors[k],
+                                      err_msg=f'{family}:{k}')
