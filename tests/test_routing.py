@@ -104,6 +104,22 @@ def test_mobilenet_bf16_conv_mode_parity():
     np.testing.assert_array_equal(ref, bf_f)
 
 
+def test_mobilenet_round5_engine_modes_parity():
+    """Round-5 engine options stay bit-identical to the int8 build:
+    conv_mode='bf16' (bf16 containers, dense-only certificate — grouped
+    convs excluded since v5e accumulates bf16 grouped convs in bf16,
+    mnv2_variants notes) and dw_mode='shifted' (nine shifted int32 VPU
+    MACs)."""
+    from hawq_tpu.inference.engine_mobilenet import build_mobilenetv2_engine
+    fm, stages, x = _calibrated_mobilenet()
+    ref = np.asarray(build_mobilenetv2_engine(fm, stages)(x))
+    for kw in (dict(conv_mode='bf16', residual_dtype=jnp.int16),
+               dict(dw_mode='shifted'),
+               dict(dw_mode='shifted', residual_dtype=jnp.int16)):
+        out = np.asarray(build_mobilenetv2_engine(fm, stages, **kw)(x))
+        np.testing.assert_array_equal(ref, out, err_msg=str(kw))
+
+
 @pytest.mark.slow
 def test_mobilenet_routed_parity_int8():
     fm, stages, x = _calibrated_mobilenet()
