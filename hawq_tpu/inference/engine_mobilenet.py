@@ -12,16 +12,16 @@ accumulator clamp is [0, round_half_up(6 / acc_scale)] per channel — exact
 against the QAT graph's float relu6-then-requant (see
 hawq_tpu/models/mobilenetv2.py docstring).
 
-``conv_mode='f32'`` — the certified-exact f32 route (engine.py notes):
-every conv whose worst-case accumulator is provably < 2²⁴ runs as a plain
-f32 convolution over integer-valued f32 tensors (XLA lowers it to exact
-bf16 MXU passes), and the whole engine threads f32 end to end — requants
-stay floor/clip in f32, residual carriers stay f32 — eliminating the
-per-op dtype-retiling copies that dominate this model's int8 engine at
-high resolution (measured 4× on the early stages, docs/perf_tpu.md).
-Uncertified layers cast to int8 locally and take the int32 MXU path, so
-correctness never depends on the certificate.  Logits are bit-identical
-across conv modes (tests/test_routing.py).
+``conv_mode='f32'``/``'bf16'`` — the certified-exact float routes
+(engine.py notes): every conv whose worst-case accumulator is provably
+< 2²⁴ runs over integer-valued f32/bf16 tensors with f32 accumulation;
+uncertified layers cast to int8 locally, so correctness never depends on
+the certificate.  Logits are bit-identical across conv modes
+(tests/test_routing.py).  **Production default is plain int8**: the
+round-5 end-to-end A/B (benchmarks/mnv2_variants_b{8,16,64}.json) measured
+every alternative slower — per-unit wins from early probes did not survive
+XLA's whole-graph scheduling (docs/perf_tpu.md, round-5 MobileNetV2
+bound).
 """
 
 from __future__ import annotations
@@ -34,9 +34,7 @@ import numpy as np
 
 from hawq_tpu.inference.freeze import FrozenModel
 from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
-                                       _requant_add, _np_dyadic_multiplier,
-                                       act_amax, f32_exact_ok,
-                                       ACC_EXACT_F32_BOUND)
+                                       _requant_add, act_amax, f32_exact_ok)
 from hawq_tpu.quant import ops as qops
 
 
