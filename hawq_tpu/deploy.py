@@ -164,7 +164,7 @@ def main(argv=None) -> int:
                         'per-family per-batch production route '
                         '(docs/perf_tpu.md round-5 table)')
     p.add_argument('--conv-mode', default='auto',
-                   choices=['auto', 'int8', 'f32'],
+                   choices=['auto', 'int8', 'f32', 'bf16'],
                    help="f32: certified-exact f32 conv route — convs whose "
                         "accumulator is provably < 2^24 thread integer-valued "
                         "f32 (bit-identical; the measured b<=16 winner for "
@@ -221,6 +221,10 @@ def main(argv=None) -> int:
         if fm.arch != 'mobilenetv2' and fm.arch.endswith('v2'):
             sys.stderr.write(f'--conv-mode {args.conv_mode} is not '
                              f'supported for the pre-activation v2 engine\n')
+            return 2
+        if args.conv_mode == 'bf16' and fm.arch != 'mobilenetv2':
+            sys.stderr.write('--conv-mode bf16 is a mobilenetv2 engine '
+                             'mode (other engines take int8/f32)\n')
             return 2
         kw['conv_mode'] = args.conv_mode
     if args.routing:
