@@ -57,14 +57,18 @@ def production_route(fm: FrozenModel, batch: int):
       * resnet v1 with a 7×7 init: host fold4 wins at b≤16, raw float32 at
         b≥32 (uint8 is fastest at b64 but changes the input contract, so
         'auto' never selects it);
-      * inceptionv3: host fold4_3x3s2 + certified-f32 convs at b≤16,
-        raw float32 + int8 at b≥32 (the fold loses at b64);
+      * inceptionv3: host fold4_3x3s2 at b≤16 (with certified-f32 convs
+        at b≤8; plain int8 wins by b16), raw float32 + int8 at b≥32
+        (the fold loses at b64);
       * mobilenetv2 / pre-activation v2: plain int8 over raw float32
         (every alternative measured slower, mnv2_variants_b{8,64}.json).
     """
     if fm.arch == 'inceptionv3':
-        return (('folded_float32', 'f32') if batch <= 16
-                else ('float32', 'int8'))
+        if batch <= 8:
+            return ('folded_float32', 'f32')
+        if batch <= 16:
+            return ('folded_float32', 'int8')
+        return ('float32', 'int8')
     if fm.arch == 'mobilenetv2' or fm.arch.endswith('v2'):
         return ('float32', 'int8')
     init_key = ('quant_init_convbn' if 'quant_init_convbn.weight_int'
