@@ -60,8 +60,10 @@ def production_route(fm: FrozenModel, batch: int):
       * inceptionv3: host fold4_3x3s2 at b≤16 (with certified-f32 convs
         at b≤8; plain int8 wins by b16), raw float32 + int8 at b≥32
         (the fold loses at b64);
-      * mobilenetv2 / pre-activation v2: plain int8 over raw float32
-        (every alternative measured slower, mnv2_variants_b{8,64}.json).
+      * mobilenetv2: raw float32 input; bf16 activation containers
+        (conv_mode='bf16', dense-conv certificate) at b≥16 — 21% faster
+        than int8 at b64, tie at b8 (mnv2_variants_b{8,16,64}.json);
+      * pre-activation v2: plain int8 over raw float32.
     """
     if fm.arch == 'inceptionv3':
         if batch <= 8:
@@ -69,7 +71,9 @@ def production_route(fm: FrozenModel, batch: int):
         if batch <= 16:
             return ('folded_float32', 'int8')
         return ('float32', 'int8')
-    if fm.arch == 'mobilenetv2' or fm.arch.endswith('v2'):
+    if fm.arch == 'mobilenetv2':
+        return ('float32', 'bf16' if batch >= 16 else 'int8')
+    if fm.arch.endswith('v2'):
         return ('float32', 'int8')
     init_key = ('quant_init_convbn' if 'quant_init_convbn.weight_int'
                 in fm.tensors else 'quant_init_block_convbn')
