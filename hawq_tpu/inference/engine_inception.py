@@ -160,6 +160,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                              input_mode: str = 'float32',
                              input_hw: Sequence = (299, 299),
                              conv_mode: str = 'int8',
+                             wide_dtype=jnp.int32,
                              requant_mode: str = 'native'):
     """``capture`` truncates at a named node and returns its integer tensor
     (debug-unit mode): 'input', 'init', '<unit>.q_rescaling_activ',
@@ -179,6 +180,12 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     activations/branch tensors thread integer-valued f32, convs failing
     the 2²⁴ certificate cast to the integer path locally.
 
+    ``wide_dtype``: container for the 9–16-bit activation nodes (the
+    q_rescaling/16-bit q_activ carriers — the engine's largest tensors).
+    ``jnp.int16`` halves their HBM traffic; values are clamped to the
+    16-bit requant range so the narrowing is exact (the resnet engine's
+    residual_dtype=int16 production choice, applied to this family).
+
     ``requant_mode='reference'``: replay an imported reference checkpoint
     with the reference's own 31-bit/f64 fixedpoint numerics — including the
     multi-branch concat requant (QuantAct branch case,
@@ -189,9 +196,17 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
         assert (conv_mode == 'int8' and routing is None
-                and input_mode == 'float32'), \
+                and input_mode == 'float32'
+                and wide_dtype == jnp.int32), \
             "requant_mode='reference' supports only the plain int8 route"
     cfg = fm.cfg
+    if wide_dtype == jnp.int16:
+        # asymmetric >8-bit ranges ([0, 2^b-1]) would overflow int16; all
+        # published configs keep >8-bit nodes symmetric (fits ±32767)
+        bad = [k for k in cfg.table
+               if cfg.act_bits(k) and cfg.act_bits(k) > 8
+               and cfg.act_mode(k) != 'symmetric']
+        assert not bad, f'int16 wide container unsafe for {bad[:3]}'
     plan = _Plan(fm, requant_mode)
     route = make_router(fm, routing)
     use_f32 = conv_mode == 'f32'
@@ -236,7 +251,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     def container(bits):
         if use_f32:
             return jnp.float32
-        return jnp.int8 if bits <= 8 else jnp.int32
+        return jnp.int8 if bits <= 8 else wide_dtype
 
     def requant_to(x_int, from_scale, key, name):
         """→ (tensor, its scale, its max integer magnitude)."""
@@ -386,11 +401,12 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 scales.append(a)
 
             # concat requant: each branch to the unit's shared scale
+            cat_dt = container(act_info(f'{p}.q_rescaling_activ')[1])
             pieces, s_unit = [], None
             for bi, (h, a) in enumerate(zip(outs, scales)):
                 r, s_unit, _ = requant_to(h, a, f'{p}.q_rescaling_activ',
                                           f'{p}.cat{bi}')
-                pieces.append(r if use_f32 else r.astype(jnp.int32))
+                pieces.append(r if use_f32 else r.astype(cat_dt))
             x = jnp.concatenate(pieces, axis=-1)
             s = s_unit
             emit(f'{p}.q_rescaling_activ', x)
