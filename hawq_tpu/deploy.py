@@ -241,6 +241,11 @@ def main(argv=None) -> int:
                              if not k.startswith('_')}
     if args.capture:
         kw['capture'] = args.capture
+    if (fm.arch == 'inceptionv3' and args.batch >= 32
+            and args.requant_mode == 'native'):
+        # int16 wide containers for the 16-bit activation nodes: +3.5% at
+        # b64, neutral at b8 (benchmarks/inception_wide16.json, bit-exact)
+        kw['wide_dtype'] = jnp.int16
 
     if args.classify:
         x = np.load(args.classify).astype(np.float32)
