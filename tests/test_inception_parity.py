@@ -134,3 +134,20 @@ def test_qat_train_step_with_dropout():
     moved = jax.tree.map(lambda a, b: not np.array_equal(a, b),
                          state.params, new_state.params)
     assert any(jax.tree.leaves(moved)), 'params did not update'
+
+
+def test_inception_int16_wide_container_parity():
+    """wide_dtype=int16 (round 5: int16 containers for the 16-bit
+    activation nodes — the b≥32 production route) is bit-identical to the
+    int32 build, under the published uniform8 table (which actually has
+    16-bit q_activ/q_rescaling nodes, unlike the all-8 defaults)."""
+    from hawq_tpu.configs.bit_config import get_bit_config
+    from hawq_tpu.inference.synthetic import synthetic_frozen_inception
+    cfg = get_bit_config('inceptionv3', 'uniform8')
+    fm = synthetic_frozen_inception(cfg, width_div=WIDTH_DIV, num_classes=8)
+    x = jnp.asarray(np.random.RandomState(1)
+                    .rand(1, 96, 96, 3).astype(np.float32) * 2 - 1)
+    a = np.asarray(build_inceptionv3_engine(fm, width_div=WIDTH_DIV)(x))
+    b = np.asarray(build_inceptionv3_engine(fm, width_div=WIDTH_DIV,
+                                            wide_dtype=jnp.int16)(x))
+    np.testing.assert_array_equal(a, b)
