@@ -50,6 +50,13 @@ def main():
         'int8_w16': (dict(wide_dtype=jnp.int16), x),
         'folded_w16': (dict(wide_dtype=jnp.int16,
                             input_mode='folded_float32'), xf),
+        # sectioned certified-f32 init (the b64 top line, 40% of runtime)
+        'initf32_w32': (dict(init_mode='f32cert'), x),
+        'initf32_w16': (dict(init_mode='f32cert',
+                             wide_dtype=jnp.int16), x),
+        'folded_initf32_w16': (dict(init_mode='f32cert',
+                                    wide_dtype=jnp.int16,
+                                    input_mode='folded_float32'), xf),
     }
     for name, (kw, xin) in variants.items():
         key = f'{args.scheme}_b{args.batch}_{name}'
