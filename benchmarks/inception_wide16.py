@@ -57,6 +57,16 @@ def main():
         'folded_initf32_w16': (dict(init_mode='f32cert',
                                     wide_dtype=jnp.int16,
                                     input_mode='folded_float32'), xf),
+        # certified bf16 containers (round 5): half the f32 route's operand
+        # traffic on the ≤8-bit nodes; >8-bit nodes stay wide-int
+        'bf16_w32': (dict(conv_mode='bf16'), x),
+        'bf16_w16': (dict(conv_mode='bf16', wide_dtype=jnp.int16), x),
+        'folded_bf16_w16': (dict(conv_mode='bf16', wide_dtype=jnp.int16,
+                                 input_mode='folded_float32'), xf),
+        # the f32-route baseline at this batch, for the bf16 A/B
+        'f32_route': (dict(conv_mode='f32'), x),
+        'folded_f32_route': (dict(conv_mode='f32',
+                                  input_mode='folded_float32'), xf),
     }
     for name, (kw, xin) in variants.items():
         key = f'{args.scheme}_b{args.batch}_{name}'

@@ -230,9 +230,10 @@ def main(argv=None) -> int:
             sys.stderr.write(f'--conv-mode {args.conv_mode} is not '
                              f'supported for the pre-activation v2 engine\n')
             return 2
-        if args.conv_mode == 'bf16' and fm.arch != 'mobilenetv2':
-            sys.stderr.write('--conv-mode bf16 is a mobilenetv2 engine '
-                             'mode (other engines take int8/f32)\n')
+        if (args.conv_mode == 'bf16'
+                and fm.arch not in ('mobilenetv2', 'inceptionv3')):
+            sys.stderr.write('--conv-mode bf16 is a mobilenetv2/inceptionv3 '
+                             'engine mode (resnet engines take int8/f32)\n')
             return 2
         kw['conv_mode'] = args.conv_mode
     if args.routing:

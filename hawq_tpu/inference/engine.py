@@ -184,6 +184,26 @@ def _conv_f32(x: jnp.ndarray, w8: np.ndarray, strides, padding,
         preferred_element_type=jnp.float32)
 
 
+def _conv_bf16(x: jnp.ndarray, w8: np.ndarray, strides, padding,
+               groups: int = 1) -> jnp.ndarray:
+    """Certified-exact bf16-storage conv: integer-valued bf16 operands
+    (int8 weights and ≤8-bit activations are exact in bf16), f32
+    accumulation — bit-identical to the int32 conv under the same 2²⁴
+    certificate as the f32 route, at half the operand HBM traffic.
+
+    v5e hazard (measured, round 5): only *dense* bf16 convs accumulate in
+    f32 there — grouped/depthwise ones accumulate in bf16 and are NOT
+    exact.  Callers must keep grouped convs off this route on TPU
+    (engine_mobilenet rejects dw_mode='bf16')."""
+    wf = np.asarray(w8, np.float32).astype(jnp.bfloat16)
+    dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape,
+                                        ('NHWC', 'HWIO', 'NHWC'))
+    return jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), wf, strides, padding,
+        dimension_numbers=dn, feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+
+
 def _s2d_input(x8: jnp.ndarray) -> jnp.ndarray:
     """7×7/s2 init space-to-depth: pad 3 + 2×2 fold (kernels/conv.py
     s2d_input — one shared definition keeps the rewrite bit-exact)."""

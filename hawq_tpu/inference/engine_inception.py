@@ -31,8 +31,9 @@ import numpy as np
 from hawq_tpu.configs.bit_config import BitConfig
 from hawq_tpu.inference.freeze import (FrozenModel, _freeze_convbn,
                                        _act_scale_from_stats)
-from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
-                                       _maxpool_int, act_amax, f32_exact_ok)
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32,
+                                       _conv_bf16, _requant, _maxpool_int,
+                                       act_amax, f32_exact_ok)
 from hawq_tpu.models.inceptionv3 import (
     INCEPTION_CHANNELS, build_unit, _Conv1x1Branch, _ConvSeqBranch,
     _MaxPoolBranch, _AvgPoolBranch, _ConvSeq3x3Branch, _cdiv, _ksize, _pad)
@@ -181,6 +182,14 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     activations/branch tensors thread integer-valued f32, convs failing
     the 2²⁴ certificate cast to the integer path locally.
 
+    ``conv_mode='bf16'``: same certificate, bf16 activation containers for
+    the ≤8-bit nodes (≤8-bit integers are bf16-exact; engine.py
+    _conv_bf16) at half the f32 route's operand HBM traffic; the >8-bit
+    nodes stay in ``wide_dtype`` integer containers (16-bit values are NOT
+    bf16-exact), and convs they feed take the int32 MXU path exactly as in
+    the int8 route.  All inception convs are dense, so the v5e
+    grouped-conv bf16-accumulation hazard (engine_mobilenet) cannot arise.
+
     ``init_mode='f32cert'``: thread ONLY the init block (5 convs + 2
     maxpools, 40% of the b64 runtime) through the certified-f32 route and
     cast back to the integer containers at the stage-1 boundary — captures
@@ -199,7 +208,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     quant_modules.py:275-286), whose per-branch (m, e) pairs come from the
     same decompose_ref constants.  CPU + x64 only; plain int8 route."""
     from hawq_tpu.inference.routing import make_router
-    assert conv_mode in ('int8', 'f32'), conv_mode
+    assert conv_mode in ('int8', 'f32', 'bf16'), conv_mode
     assert init_mode in ('int8', 'f32cert'), init_mode
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
@@ -221,6 +230,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     plan = _Plan(fm, requant_mode)
     route = make_router(fm, routing)
     use_f32 = conv_mode == 'f32'
+    use_cert = conv_mode in ('f32', 'bf16')
+    cert_conv = _conv_bf16 if conv_mode == 'bf16' else _conv_f32
 
     folded = input_mode == 'folded_float32'
     if folded:
@@ -251,11 +262,12 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     _w1 = np.asarray(fm[_w1_key + '.weight_int'])
     _b1 = np.asarray(fm[_w1_key + '.bias_int'])
     if folded:
-        init_f32 = ((use_f32 or init_mode == 'f32cert')
+        init_f32 = ((use_cert or init_mode == 'f32cert')
                     and f32_exact_ok(w_fold, _t4(_b1), 128.0))
     else:
-        init_f32 = ((use_f32 or init_mode == 'f32cert')
+        init_f32 = ((use_cert or init_mode == 'f32cert')
                     and f32_exact_ok(_w1, _b1, 128.0))
+    init_conv = cert_conv if use_cert else _conv_f32
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
@@ -264,6 +276,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     def container(bits):
         if use_f32 or _sect['f32']:
             return jnp.float32
+        if use_cert and bits <= 8:              # conv_mode='bf16'
+            return jnp.bfloat16
         return jnp.int8 if bits <= 8 else wide_dtype
 
     def requant_to(x_int, from_scale, key, name):
@@ -276,7 +290,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     def to_int(h, amax):
         """Cast an integer-valued f32 tensor to the integer MXU input
         container (int8 when the values fit, else int32)."""
-        if h.dtype != jnp.float32:
+        if not jnp.issubdtype(h.dtype, jnp.floating):
             return h
         return h.astype(jnp.int8 if amax <= 128 else jnp.int32)
 
@@ -285,8 +299,9 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                      .astype(np.float32) * np.float32(a_scale))
         s, b, sg = act_info(f'{key_prefix}.q_activ')
         w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
-        if (use_f32 or _sect['f32']) and f32_exact_ok(w8, b32, amax):
-            acc = _conv_f32(h, w8, (stride, stride), _pad(padding)) + b32
+        if (use_cert or _sect['f32']) and f32_exact_ok(w8, b32, amax):
+            cc = cert_conv if use_cert else _conv_f32
+            acc = cc(h, w8, (stride, stride), _pad(padding)) + b32
             acc = jnp.maximum(acc, 0)
             return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
                               f'{key_prefix}.rq')
@@ -308,9 +323,10 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                           f'{key_prefix}.rq')
 
     def int_avgpool_3x3(x_int):
-        if x_int.dtype == jnp.float32:
+        if jnp.issubdtype(x_int.dtype, jnp.floating):
+            # bf16 containers sum in f32 (9·255 needs 12 significand bits)
             summed = jax.lax.reduce_window(
-                x_int, jnp.float32(0), jax.lax.add,
+                x_int.astype(jnp.float32), jnp.float32(0), jax.lax.add,
                 (1, 3, 3, 1), (1, 1, 1, 1),
                 ((0, 0), (1, 1), (1, 1), (0, 0)))
             return jnp.trunc(qops.exact_div(summed, 9.0) + 0.01)
@@ -321,7 +337,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                          + 0.01).astype(jnp.int32)
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
-        _sect['f32'] = init_mode == 'f32cert' and not use_f32
+        _sect['f32'] = init_mode == 'f32cert' and not use_cert
         ip = 'features.q_init_block'
         s_in, b_in, _ = act_info(f'{ip}.q_input_activ')
         n = 2 ** (b_in - 1) - 1
@@ -344,7 +360,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                     f'folded input {x.shape[1:3]} does not match input_hw='
                     f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
                 if init_f32:
-                    acc = _conv_f32(x, w_fold, (1, 1), 'VALID') + _t4(_b1)
+                    acc = init_conv(x, w_fold, (1, 1), 'VALID') + _t4(_b1)
                 else:
                     acc = _conv_i8(x, w_fold, (1, 1), 'VALID') + _t4(_b1)
                 acc = jnp.maximum(acc, 0)
@@ -356,8 +372,8 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
                 s, am = np.float32(sq), act_amax(bq, sg)
             elif c == 1 and init_f32:
-                # f32-threaded input into the certified f32 init conv
-                acc = _conv_f32(x, _w1, (strides[c], strides[c]),
+                # float-threaded input into the certified init conv
+                acc = init_conv(x, _w1, (strides[c], strides[c]),
                                 _pad(pads[c])) + _b1
                 acc = jnp.maximum(acc, 0)
                 acc_scale = (fm[f'{key}.q_convbn.weight_scale']
@@ -432,8 +448,10 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
 
         # head: integer global avg pool → requant → dense
         hw = x.shape[1] * x.shape[2]
-        pooled = jnp.sum(x, axis=(1, 2),
-                         dtype=jnp.float32 if use_f32 else jnp.int32)
+        pooled = jnp.sum(
+            x, axis=(1, 2),
+            dtype=jnp.float32 if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.int32)
         pooled = jnp.trunc(qops.exact_div(pooled.astype(jnp.float32), hw)
                            + 0.01)
         if not use_f32:

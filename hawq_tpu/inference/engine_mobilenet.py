@@ -33,24 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from hawq_tpu.inference.freeze import FrozenModel
-from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32, _requant,
-                                       _requant_add, act_amax, f32_exact_ok)
+from hawq_tpu.inference.engine import (_Plan, _conv_i8, _conv_f32,
+                                       _conv_bf16, _requant, _requant_add,
+                                       act_amax, f32_exact_ok)
 from hawq_tpu.quant import ops as qops
-
-
-def _conv_bf16(x: jnp.ndarray, w8: np.ndarray, strides, padding,
-               groups: int = 1) -> jnp.ndarray:
-    """Certified-exact bf16-storage conv: integer-valued bf16 operands
-    (int8 weights and ≤8-bit activations are exact in bf16), f32
-    accumulation — bit-identical to the int32 conv under the same 2²⁴
-    certificate as the f32 route, at half the operand HBM traffic."""
-    wf = np.asarray(w8, np.float32).astype(jnp.bfloat16)
-    dn = jax.lax.conv_dimension_numbers(x.shape, wf.shape,
-                                        ('NHWC', 'HWIO', 'NHWC'))
-    return jax.lax.conv_general_dilated(
-        x.astype(jnp.bfloat16), wf, strides, padding,
-        dimension_numbers=dn, feature_group_count=groups,
-        preferred_element_type=jnp.float32)
 
 
 def _dw_shifted(x8: jnp.ndarray, w8: np.ndarray, stride: int) -> jnp.ndarray:

@@ -179,19 +179,25 @@ def _calibrated_tiny_inception(wd=16):
 
 
 def test_inception_bf16_conv_mode_parity():
-    """conv_mode='f32' on the inception engine: bit-identical logits."""
+    """conv_mode='f32'/'bf16' on the inception engine: bit-identical
+    logits (the bf16 route keeps >8-bit nodes in wide int containers)."""
     from hawq_tpu.inference.engine_inception import build_inceptionv3_engine
     fm, x = _calibrated_tiny_inception()
     ref = np.asarray(build_inceptionv3_engine(fm, width_div=16)(x))
-    bf = np.asarray(build_inceptionv3_engine(fm, width_div=16,
-                                             conv_mode='f32')(x))
-    np.testing.assert_array_equal(ref, bf)
+    for cm in ('f32', 'bf16'):
+        got = np.asarray(build_inceptionv3_engine(fm, width_div=16,
+                                                  conv_mode=cm)(x))
+        np.testing.assert_array_equal(ref, got, err_msg=cm)
+    got16 = np.asarray(build_inceptionv3_engine(
+        fm, width_div=16, conv_mode='bf16', wide_dtype=jnp.int16)(x))
+    np.testing.assert_array_equal(ref, got16)
     from hawq_tpu.inference import fold
     xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 0))
-    bf_f = np.asarray(build_inceptionv3_engine(
-        fm, width_div=16, conv_mode='f32', input_mode='folded_float32',
-        input_hw=(96, 96))(xf))
-    np.testing.assert_array_equal(ref, bf_f)
+    for cm in ('f32', 'bf16'):
+        got_f = np.asarray(build_inceptionv3_engine(
+            fm, width_div=16, conv_mode=cm, input_mode='folded_float32',
+            input_hw=(96, 96))(xf))
+        np.testing.assert_array_equal(ref, got_f, err_msg=cm)
 
 
 @pytest.mark.slow
