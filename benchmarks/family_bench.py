@@ -155,6 +155,12 @@ def main():
                                           input_hw=(299, 299),
                                           conv_mode='f32')
         record(f'inceptionv3_{scheme}_folded_f32', eng_fb, xif, fm)
+        # certified bf16 containers (round 5: the measured b8 winner —
+        # half the f32 route's operand traffic, same 2^24 certificate)
+        eng_fb16 = build_inceptionv3_engine(fm, input_mode='folded_float32',
+                                            input_hw=(299, 299),
+                                            conv_mode='bf16')
+        record(f'inceptionv3_{scheme}_folded_bf16', eng_fb16, xif, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_inceptionv3_{scheme}_b{args.batch}'
                              '.json')

@@ -63,6 +63,8 @@ def main():
         'bf16_w16': (dict(conv_mode='bf16', wide_dtype=jnp.int16), x),
         'folded_bf16_w16': (dict(conv_mode='bf16', wide_dtype=jnp.int16,
                                  input_mode='folded_float32'), xf),
+        'folded_bf16_w32': (dict(conv_mode='bf16',
+                                 input_mode='folded_float32'), xf),
         # the f32-route baseline at this batch, for the bf16 A/B
         'f32_route': (dict(conv_mode='f32'), x),
         'folded_f32_route': (dict(conv_mode='f32',

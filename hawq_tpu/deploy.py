@@ -57,9 +57,10 @@ def production_route(fm: FrozenModel, batch: int):
       * resnet v1 with a 7×7 init: host fold4 wins at b≤16, raw float32 at
         b≥32 (uint8 is fastest at b64 but changes the input contract, so
         'auto' never selects it);
-      * inceptionv3: host fold4_3x3s2 at b≤16 (with certified-f32 convs
-        at b≤8; plain int8 wins by b16), raw float32 + int8 at b≥32
-        (the fold loses at b64);
+      * inceptionv3: host fold4_3x3s2 at b≤16 (with certified bf16
+        activation containers at b≤8 — 1.505 ms/b8, 16% over the f32-cert
+        route; plain int8 wins by b16), raw float32 + int8 at b≥32 (the
+        fold loses at b64) — benchmarks/inception_wide16.json;
       * mobilenetv2: raw float32 input; bf16 activation containers
         (conv_mode='bf16', dense-conv certificate) at b≥16 — 21% faster
         than int8 at b64, tie at b8 (mnv2_variants_b{8,16,64}.json);
@@ -67,7 +68,7 @@ def production_route(fm: FrozenModel, batch: int):
     """
     if fm.arch == 'inceptionv3':
         if batch <= 8:
-            return ('folded_float32', 'f32')
+            return ('folded_float32', 'bf16')
         if batch <= 16:
             return ('folded_float32', 'int8')
         return ('float32', 'int8')
