@@ -161,6 +161,11 @@ def main():
                                             input_hw=(299, 299),
                                             conv_mode='bf16')
         record(f'inceptionv3_{scheme}_folded_bf16', eng_fb16, xif, fm)
+        # unfolded bf16 + int16-wide (the b>=32 candidate: the fold loses
+        # there, and 4-bit ranges certify nearly every conv)
+        eng_b16w = build_inceptionv3_engine(fm, conv_mode='bf16',
+                                            wide_dtype=jnp.int16)
+        record(f'inceptionv3_{scheme}_bf16_w16', eng_b16w, xi, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_inceptionv3_{scheme}_b{args.batch}'
                              '.json')
