@@ -219,3 +219,25 @@ def test_deploy_import_reference_inceptionv3(tmp_path):
         env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'})
     assert r.returncode == 0, r.stderr[-800:]
     assert 'arch=inceptionv3' in r.stdout
+
+
+def test_production_route_table():
+    """Lock the measured per-family per-batch auto routes (docs/perf_tpu.md
+    round-5 table; inception_wide16.json, mnv2_variants_b{8,16,64}.json,
+    input_mode_b64.json)."""
+    from hawq_tpu.inference.synthetic import (synthetic_frozen_mobilenet,
+                                              synthetic_frozen_inception)
+    fm_i = synthetic_frozen_inception(get_bit_config('inceptionv3',
+                                                     'uniform8'))
+    assert deploy.production_route(fm_i, 8) == ('folded_float32', 'bf16')
+    assert deploy.production_route(fm_i, 16) == ('folded_float32', 'int8')
+    assert deploy.production_route(fm_i, 64) == ('float32', 'int8')
+    fm_m = synthetic_frozen_mobilenet(get_bit_config('mobilenetv2',
+                                                     'uniform8'))
+    assert deploy.production_route(fm_m, 8) == ('float32', 'int8')
+    assert deploy.production_route(fm_m, 64) == ('float32', 'bf16')
+    fm_r = synthetic_frozen_resnet('tiny50', get_bit_config('tiny50',
+                                                            'uniform8'))
+    # resnet folds its 7x7 init at b<=16, raw float32 at b>=32
+    assert deploy.production_route(fm_r, 8) == ('folded_float32', 'int8')
+    assert deploy.production_route(fm_r, 64) == ('float32', 'int8')
