@@ -69,6 +69,12 @@ def main():
         'f32_route': (dict(conv_mode='f32'), x),
         'folded_f32_route': (dict(conv_mode='f32',
                                   input_mode='folded_float32'), xf),
+        # sectioned bf16 init (init block in bf16 containers, int8 stages)
+        'initbf16_w16': (dict(init_mode='bf16cert',
+                              wide_dtype=jnp.int16), x),
+        'folded_initbf16_w16': (dict(init_mode='bf16cert',
+                                     wide_dtype=jnp.int16,
+                                     input_mode='folded_float32'), xf),
     }
     for name, (kw, xin) in variants.items():
         key = f'{args.scheme}_b{args.batch}_{name}'

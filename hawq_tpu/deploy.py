@@ -60,7 +60,9 @@ def production_route(fm: FrozenModel, batch: int):
       * inceptionv3: host fold4_3x3s2 at b≤16 (with certified bf16
         activation containers at b≤8 — 1.505 ms/b8, 16% over the f32-cert
         route; plain int8 wins by b16), raw float32 + int8 at b≥32 (the
-        fold loses at b64) — benchmarks/inception_wide16.json;
+        fold loses at b64; main() adds int16 wide containers and the
+        bf16-sectioned init there → 10.58 ms/b64) —
+        benchmarks/inception_wide16.json;
       * mobilenetv2: raw float32 input; bf16 activation containers
         (conv_mode='bf16', dense-conv certificate) at b≥16 — 21% faster
         than int8 at b64, tie at b8 (mnv2_variants_b{8,16,64}.json);
@@ -245,9 +247,13 @@ def main(argv=None) -> int:
         kw['capture'] = args.capture
     if (fm.arch == 'inceptionv3' and args.batch >= 32
             and args.requant_mode == 'native'):
-        # int16 wide containers for the 16-bit activation nodes: +3.5% at
-        # b64, neutral at b8 (benchmarks/inception_wide16.json, bit-exact)
+        # int16 wide containers for the 16-bit activation nodes (+3.5% at
+        # b64) + the bf16-sectioned init block (a further +3.4%: the init
+        # is ~40% of the b64 runtime and bandwidth-bound, the stages stay
+        # on the int8 MXU) — benchmarks/inception_wide16.json, bit-exact
         kw['wide_dtype'] = jnp.int16
+        if args.conv_mode == 'int8':
+            kw['init_mode'] = 'bf16cert'
 
     if args.classify:
         x = np.load(args.classify).astype(np.float32)

@@ -194,7 +194,9 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     maxpools, 40% of the b64 runtime) through the certified-f32 route and
     cast back to the integer containers at the stage-1 boundary — captures
     the init-block float win without the whole-graph f32 carrier cost that
-    makes conv_mode='f32' lose at b≥16.
+    makes conv_mode='f32' lose at b≥16.  ``'bf16cert'``: the same section
+    in bf16 containers (half the section's carrier traffic; >8-bit nodes
+    stay wide-int).
 
     ``wide_dtype``: container for the 9–16-bit activation nodes (the
     q_rescaling/16-bit q_activ carriers — the engine's largest tensors).
@@ -209,7 +211,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     same decompose_ref constants.  CPU + x64 only; plain int8 route."""
     from hawq_tpu.inference.routing import make_router
     assert conv_mode in ('int8', 'f32', 'bf16'), conv_mode
-    assert init_mode in ('int8', 'f32cert'), init_mode
+    assert init_mode in ('int8', 'f32cert', 'bf16cert'), init_mode
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
         assert (conv_mode == 'int8' and routing is None
@@ -217,9 +219,11 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 and wide_dtype == jnp.int32), \
             "requant_mode='reference' supports only the plain int8 route"
     cfg = fm.cfg
-    # build-time section flag: True while tracing the init block under
-    # init_mode='f32cert' (python control flow — the graph is traced once)
-    _sect = {'f32': False}
+    # build-time section state: the certified container dtype while tracing
+    # the init block under init_mode='f32cert'/'bf16cert' (python control
+    # flow — the graph is traced once), None outside the section
+    _sect = {'dt': None}
+    _SECT_DT = {'f32cert': jnp.float32, 'bf16cert': jnp.bfloat16}
     if wide_dtype == jnp.int16:
         # asymmetric >8-bit ranges ([0, 2^b-1]) would overflow int16; all
         # published configs keep >8-bit nodes symmetric (fits ±32767)
@@ -262,20 +266,25 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
     _w1 = np.asarray(fm[_w1_key + '.weight_int'])
     _b1 = np.asarray(fm[_w1_key + '.bias_int'])
     if folded:
-        init_f32 = ((use_cert or init_mode == 'f32cert')
+        init_f32 = ((use_cert or init_mode in _SECT_DT)
                     and f32_exact_ok(w_fold, _t4(_b1), 128.0))
     else:
-        init_f32 = ((use_cert or init_mode == 'f32cert')
+        init_f32 = ((use_cert or init_mode in _SECT_DT)
                     and f32_exact_ok(_w1, _b1, 128.0))
-    init_conv = cert_conv if use_cert else _conv_f32
+    init_conv = cert_conv if use_cert else (
+        _conv_bf16 if init_mode == 'bf16cert' else _conv_f32)
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
                 cfg.act_mode(key) == 'symmetric')
 
     def container(bits):
-        if use_f32 or _sect['f32']:
+        if use_f32:
             return jnp.float32
+        if _sect['dt'] is not None:             # sectioned init mode
+            if _sect['dt'] == jnp.bfloat16 and bits > 8:
+                return wide_dtype               # 16-bit not bf16-exact
+            return _sect['dt']
         if use_cert and bits <= 8:              # conv_mode='bf16'
             return jnp.bfloat16
         return jnp.int8 if bits <= 8 else wide_dtype
@@ -299,8 +308,10 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                      .astype(np.float32) * np.float32(a_scale))
         s, b, sg = act_info(f'{key_prefix}.q_activ')
         w8, b32 = plan.conv(f'{key_prefix}.q_convbn')
-        if (use_cert or _sect['f32']) and f32_exact_ok(w8, b32, amax):
-            cc = cert_conv if use_cert else _conv_f32
+        if ((use_cert or _sect['dt'] is not None)
+                and f32_exact_ok(w8, b32, amax)):
+            cc = cert_conv if use_cert else (
+                _conv_bf16 if _sect['dt'] == jnp.bfloat16 else _conv_f32)
             acc = cc(h, w8, (stride, stride), _pad(padding)) + b32
             acc = jnp.maximum(acc, 0)
             return requant_to(acc, acc_scale, f'{key_prefix}.q_activ',
@@ -337,7 +348,7 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                          + 0.01).astype(jnp.int32)
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
-        _sect['f32'] = init_mode == 'f32cert' and not use_cert
+        _sect['dt'] = None if use_cert else _SECT_DT.get(init_mode)
         ip = 'features.q_init_block'
         s_in, b_in, _ = act_info(f'{ip}.q_input_activ')
         n = 2 ** (b_in - 1) - 1
@@ -384,10 +395,10 @@ def build_inceptionv3_engine(fm: FrozenModel, width_div: int = 1,
                 x, s, am = incept_conv(x, s, am, key, strides[c], pads[c])
             if c in (3, 5):
                 x = _maxpool_int(x, (3, 3), (2, 2), ((0, 0), (0, 0)))
-        if _sect['f32']:
-            # end of the f32cert init section: back to integer containers
-            # (exact: the f32 tensor holds the q_conv5 requant's integers)
-            _sect['f32'] = False
+        if _sect['dt'] is not None:
+            # end of the sectioned init: back to integer containers
+            # (exact: the float tensor holds the q_conv5 requant's integers)
+            _sect['dt'] = None
             x = x.astype(container(act_info(f'{ip}.q_conv5.q_activ')[1]))
         emit('init', x)
 

@@ -191,6 +191,10 @@ def test_inception_bf16_conv_mode_parity():
     got16 = np.asarray(build_inceptionv3_engine(
         fm, width_div=16, conv_mode='bf16', wide_dtype=jnp.int16)(x))
     np.testing.assert_array_equal(ref, got16)
+    for im in ('f32cert', 'bf16cert'):      # sectioned init modes
+        got_s = np.asarray(build_inceptionv3_engine(
+            fm, width_div=16, init_mode=im)(x))
+        np.testing.assert_array_equal(ref, got_s, err_msg=im)
     from hawq_tpu.inference import fold
     xf = jnp.asarray(fold.fold4_images_3x3s2(np.asarray(x), 0))
     for cm in ('f32', 'bf16'):
