@@ -120,10 +120,14 @@ def main():
     from hawq_tpu.inference.fold import fold4_images
     xf = jnp.asarray(fold4_images(np.asarray(x)))
 
+    # init_mode='bf16cert': the init conv through the certified bf16 route
+    # (bit-exact; round-5 A/B benchmarks/resnet_init_bf16.json — wins at
+    # every batch/input mode, 0.556 → 0.549 ms here)
     cfg = get_bit_config('resnet50', 'uniform8')
     fm = synthetic_frozen_resnet('resnet50', cfg)
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16,
-                                 input_mode='folded_float32')
+                                 input_mode='folded_float32',
+                                 init_mode='bf16cert')
     t_int8 = time_per_iter(engine, xf)
 
     # W4A4: uniform4 engine.  Two candidate builds are measured and the
@@ -135,7 +139,8 @@ def main():
     cfg4 = get_bit_config('resnet50', 'uniform4')
     fm4 = synthetic_frozen_resnet('resnet50', cfg4)
     engine4 = build_resnet_engine(fm4, residual_dtype=jnp.int16,
-                                  input_mode='folded_float32')
+                                  input_mode='folded_float32',
+                                  init_mode='bf16cert')
     t_int4 = time_per_iter(engine4, xf)
     routing_used = 'all-xla'
     rpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -146,7 +151,8 @@ def main():
         if any(v != 'xla' for v in routing.values()):
             engine4_r = build_resnet_engine(fm4, residual_dtype=jnp.int16,
                                             use_pallas=True, routing=routing,
-                                            input_mode='folded_float32')
+                                            input_mode='folded_float32',
+                                            init_mode='bf16cert')
             t_int4_r = time_per_iter(engine4_r, xf)
             if t_int4_r < t_int4:
                 t_int4, engine4, routing_used = t_int4_r, engine4_r, 'measured'
@@ -196,7 +202,8 @@ def main():
         # b64 — benchmarks/input_mode_b64.json) with all-XLA routing
         # (routing_resnet50_uniform4_b64.json)
         eng64 = build_resnet_engine(fm, residual_dtype=jnp.int16,
-                                    input_mode='uint8')
+                                    input_mode='uint8',
+                                    init_mode='bf16cert')
         x64u = jnp.asarray(rng.randint(0, 256, (64, 224, 224, 3))
                            .astype(np.uint8))
         t_int8_b64 = time_per_iter(eng64, x64u)

@@ -241,6 +241,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
                         input_mean: np.ndarray = IMAGENET_MEAN,
                         input_std: np.ndarray = IMAGENET_STD,
                         conv_mode: str = 'int8',
+                        init_mode: str = 'int8',
                         requant_mode: str = 'native',
                         fuse_unit_input: Optional[bool] = None,
                         pool_kernel: Optional[bool] = None):
@@ -277,6 +278,13 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     typically fall back — exactly the layers where the int8 MXU (2× bf16
     peak) wins anyway.
 
+    ``init_mode='bf16cert'``: run ONLY the init conv through the certified
+    bf16 route (engine_inception's sectioned-init lever applied here) —
+    the quantized input skips the int8 materialization of the C=3-minor
+    image and the conv's bf16 operands halve its read traffic; the requant
+    emits the normal integer carrier, so the rest of the graph is
+    unchanged.  Falls back to int8 when the certificate fails.
+
     ``requant_mode='reference'``: replay an **imported reference checkpoint**
     (utils/checkpoint.import_reference_quantized) with the reference's own
     requant numerics — 31-bit Decimal-rounded dyadic mantissas evaluated in
@@ -286,6 +294,7 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     bounded to borderline-rounding flips, see docs/reference_import.md).
     """
     assert conv_mode in ('int8', 'f32'), conv_mode
+    assert init_mode in ('int8', 'bf16cert'), init_mode
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
         # the replay path evaluates the reference's float64 fixedpoint_fn
@@ -293,7 +302,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         # imported reference checkpoints — keep the graph on the plain int8
         # XLA route with full-width residual carriers (the reference's own
         # deployment graph shape, quantized_resnet_v1.py:50-263)
-        assert conv_mode == 'int8' and not use_pallas and routing is None \
+        assert conv_mode == 'int8' and init_mode == 'int8' \
+            and not use_pallas and routing is None \
             and residual_dtype == jnp.int32 and not s2d_init, \
             "requant_mode='reference' supports only the plain int8 route"
     use_f32 = conv_mode == 'f32'
@@ -495,7 +505,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
     # never grow.  When certified, the quantized input skips the int8
     # materialization (42× lane-padded at C=3).
     _w_init_c, _b_init_c = plan.conv(init_key)
-    init_f32 = use_f32 and f32_exact_ok(_w_init_c, _b_init_c, 128.0)
+    init_f32 = ((use_f32 or init_mode == 'bf16cert')
+                and f32_exact_ok(_w_init_c, _b_init_c, 128.0))
 
     def forward(images: jnp.ndarray) -> jnp.ndarray:
         # ---- input quantization (test_resnet_accuracy_imagenet.py:62-75) --
@@ -531,7 +542,8 @@ def build_resnet_engine(fm: FrozenModel, capture: Optional[str] = None,
         s_init = (fm[init_key + '.weight_scale'].astype(np.float32)
                   * np.float32(s_in))
         s16, b16, signed16 = act_info('quant_act_int32')
-        init_conv = _conv_f32 if init_f32 else _conv_i8
+        init_conv = ((_conv_bf16 if init_mode == 'bf16cert' and not use_f32
+                      else _conv_f32) if init_f32 else _conv_i8)
         if folded:
             # 4×4 block-folded init conv (inference/fold.py): bit-exact
             # 3×3/s1 rewrite of the 7×7/s2; requant+relu in folded layout

@@ -91,6 +91,10 @@ def test_f32_conv_mode_bit_exact(scheme):
     f32i16 = np.asarray(build_resnet_engine(fm, conv_mode='f32',
                                             residual_dtype=jnp.int16)(x))
     np.testing.assert_array_equal(ref, f32i16)
+    # sectioned bf16 init (init conv only; rest of the graph int8)
+    ib = np.asarray(build_resnet_engine(fm, init_mode='bf16cert',
+                                        residual_dtype=jnp.int16)(x))
+    np.testing.assert_array_equal(ref, ib)
 
 
 def test_int16_residual_matches_when_in_range():
