@@ -125,6 +125,11 @@ def main():
                                           conv_mode='f32',
                                           residual_dtype=jnp.int16)
         record(f'mobilenetv2_{scheme}_f32', eng_bf, x, fm)
+        # round-5 late add: int8 graph + certified-bf16 init conv (the b8
+        # winner — skips the C=3 int8 lane-pad, mnv2_variants_b8.json)
+        eng_ib = build_mobilenetv2_engine(fm, MOBILENETV2_STAGES,
+                                          init_mode='bf16cert')
+        record(f'mobilenetv2_{scheme}_initbf16', eng_ib, x, fm)
         rpath = os.path.join(bench_dir,
                              f'routing_mobilenetv2_{scheme}_b{args.batch}'
                              '.json')

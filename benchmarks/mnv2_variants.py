@@ -61,6 +61,12 @@ def main():
         'f32': dict(conv_mode='f32'),
         'bf16_res16': dict(conv_mode='bf16', residual_dtype=jnp.int16),
         'bf16_res32': dict(conv_mode='bf16'),
+        # round-5 late add: init conv only through the certified bf16
+        # route (the resnet engine's headline lever — skips the C=3 int8
+        # lane-pad materialization), rest of the graph per conv_mode
+        'int8_initbf16': dict(init_mode='bf16cert'),
+        'int8_res16_initbf16': dict(init_mode='bf16cert',
+                                    residual_dtype=jnp.int16),
     }
     for name, kw in VARIANTS.items():
         key = f'{args.scheme}_{name}'

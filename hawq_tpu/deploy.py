@@ -254,14 +254,15 @@ def main(argv=None) -> int:
         kw['wide_dtype'] = jnp.int16
         if args.conv_mode == 'int8':
             kw['init_mode'] = 'bf16cert'
-    if (fm.arch not in ('mobilenetv2', 'inceptionv3')
-            and not fm.arch.endswith('v2')
+    if (fm.arch != 'inceptionv3'
+            and (fm.arch == 'mobilenetv2' or not fm.arch.endswith('v2'))
             and args.conv_mode == 'int8'
             and args.requant_mode == 'native'):
-        # resnet v1 production: init conv through the certified bf16 route
-        # (bit-exact; wins at every batch/input mode —
-        # benchmarks/resnet_init_bf16.json: b8 folded 0.556→0.549,
-        # b64 uint8 5.108→5.066, b64 f32 5.118→4.947)
+        # resnet v1 + mobilenetv2 production: init conv through the
+        # certified bf16 route (bit-exact; wins at every batch/input mode —
+        # benchmarks/resnet_init_bf16.json: b8 folded 0.556→0.549, b64
+        # uint8 5.108→5.066, b64 f32 5.118→4.947;
+        # benchmarks/mnv2_variants_b8.json: 1.283→1.198)
         kw['init_mode'] = 'bf16cert'
 
     if args.classify:

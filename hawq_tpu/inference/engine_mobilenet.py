@@ -100,6 +100,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                              input_mode: str = 'float32',
                              input_hw: Sequence = (224, 224),
                              conv_mode: str = 'int8',
+                             init_mode: str = 'int8',
                              dw_mode: Optional[str] = None,
                              requant_mode: str = 'native'):
     """Compile a frozen QMobileNetV2 into fn(images f32 NHWC) → logits.
@@ -127,6 +128,11 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     operand traffic of 'f32'; residual carriers stay ``residual_dtype``
     (16-bit residual values are NOT bf16-exact).
 
+    ``init_mode='bf16cert'``: run ONLY the C=3 init conv through the
+    certified bf16 route (skips the int8 lane-pad materialization of the
+    C-minor image; the resnet engine's round-5 lever) while the rest of
+    the graph keeps ``conv_mode``.
+
     ``dw_mode`` (int8 engine only): route the depthwise convs off XLA's
     int8 grouped-conv lowering — 'shifted' runs them as nine shifted int32
     VPU MACs (_dw_shifted; bit-identical, measured slower end-to-end on
@@ -141,6 +147,7 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     notes; CPU + x64 only — plain int8 route)."""
     from hawq_tpu.inference.routing import make_router
     assert conv_mode in ('int8', 'f32', 'bf16'), conv_mode
+    assert init_mode in ('int8', 'bf16cert'), init_mode
     assert dw_mode in (None, 'bf16', 'shifted'), dw_mode
     if dw_mode == 'bf16':
         # measured NOT bit-exact on v5e (bf16 grouped convs accumulate in
@@ -150,7 +157,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             'accumulation) — use dw_mode=None or conv_mode defaults'
     assert requant_mode in ('native', 'reference'), requant_mode
     if requant_mode == 'reference':
-        assert (conv_mode == 'int8' and dw_mode is None and routing is None
+        assert (conv_mode == 'int8' and init_mode == 'int8'
+                and dw_mode is None and routing is None
                 and residual_dtype == jnp.int32
                 and input_mode == 'float32'), \
             "requant_mode='reference' supports only the plain int8 route"
@@ -218,9 +226,12 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
     # 128 lanes at int8's (32, 128) tiling) that the f32 conv never needs.
     w8_init, b32_init = plan.conv('init_block')
     if folded:
-        init_f32 = use_cert and f32_exact_ok(w_fold, _t4(b32_init), 128.0)
+        init_f32 = ((use_cert or init_mode == 'bf16cert')
+                    and f32_exact_ok(w_fold, _t4(b32_init), 128.0))
     else:
-        init_f32 = use_cert and f32_exact_ok(w8_init, b32_init, 128.0)
+        init_f32 = ((use_cert or init_mode == 'bf16cert')
+                    and f32_exact_ok(w8_init, b32_init, 128.0))
+    init_cert_conv = cert_conv if use_cert else _conv_bf16
 
     def act_info(key):
         return (float(fm.act_scale(key)), cfg.act_bits(key),
@@ -268,7 +279,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
                 f'folded input {x8.shape[1:3]} does not match input_hw='
                 f'{tuple(input_hw)} (expect {(fh, fw)} folded rows)')
             if init_f32:
-                acc = cert_conv(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
+                acc = init_cert_conv(x8, w_fold, (1, 1),
+                                     'VALID') + _t4(b32_init)
             else:
                 acc = _conv_i8(x8, w_fold, (1, 1), 'VALID') + _t4(b32_init)
             acc = relu6(acc, _t4(acc_scale),
@@ -278,8 +290,8 @@ def build_mobilenetv2_engine(fm: FrozenModel, stages: Sequence,
             x = _fold.depth_to_space_2x2(xq)[:, :oh, :ow, :]
         else:
             if init_f32:
-                acc = cert_conv(x8, w8_init, (2, 2), ((1, 1), (1, 1))
-                                ) + b32_init
+                acc = init_cert_conv(x8, w8_init, (2, 2), ((1, 1), (1, 1))
+                                     ) + b32_init
             else:
                 acc = _conv_i8(x8, w8_init, (2, 2), ((1, 1), (1, 1))
                                ) + b32_init

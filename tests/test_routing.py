@@ -115,7 +115,9 @@ def test_mobilenet_round5_engine_modes_parity():
     ref = np.asarray(build_mobilenetv2_engine(fm, stages)(x))
     for kw in (dict(conv_mode='bf16', residual_dtype=jnp.int16),
                dict(dw_mode='shifted'),
-               dict(dw_mode='shifted', residual_dtype=jnp.int16)):
+               dict(dw_mode='shifted', residual_dtype=jnp.int16),
+               dict(init_mode='bf16cert'),
+               dict(init_mode='bf16cert', residual_dtype=jnp.int16)):
         out = np.asarray(build_mobilenetv2_engine(fm, stages, **kw)(x))
         np.testing.assert_array_equal(ref, out, err_msg=str(kw))
 
