@@ -51,7 +51,8 @@ def main():
     # uint8 serving input: 4x less host->device traffic, normalization
     # folded into the on-device input quantization
     engine = build_resnet_engine(fm, residual_dtype=jnp.int16,
-                                 input_mode='uint8')
+                                 input_mode='uint8',
+                                 init_mode='bf16cert')
     rng = np.random.RandomState(0)
     results = {'device': str(jax.devices()[0])}
 
@@ -61,7 +62,8 @@ def main():
     # b16 row is the recorded peak-throughput serving headline.
     from hawq_tpu.inference.fold import fold4_images
     engine16 = build_resnet_engine(fm, residual_dtype=jnp.int16,
-                                   input_mode='folded_float32')
+                                   input_mode='folded_float32',
+                                   init_mode='bf16cert')
     x16 = jnp.asarray(fold4_images(
         rng.rand(16, 224, 224, 3).astype(np.float32)))
     t = time_per_iter(engine16, x16)
